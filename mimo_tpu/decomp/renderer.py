@@ -1,0 +1,141 @@
+"""JAX software rasterizer: vertex-colored mesh → image + depth (z-buffer).
+
+Replaces the reference's pyrender/EGL offscreen renderer used to draw the
+SMPL "sdc" encoding video (hmr2/utils/renderer.py:143-455,
+render_rgba_multiple at :365). TPU-native design: barycentric coverage
+tests over pixel grids, faces processed in static-size chunks with a
+`lax.scan` z-buffer reduction — no data-dependent shapes, batches over
+frames with `vmap`.
+
+Camera model matches the reference's weak-perspective-to-full-image
+convention (`cam_crop_to_full`, hmr2/utils/renderer.py:19-29): vertices
+arrive in camera space; we project with intrinsics (focal, cx, cy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def project(verts: jnp.ndarray, focal: jnp.ndarray,
+            center: jnp.ndarray) -> jnp.ndarray:
+    """Perspective projection. verts (V, 3) cam-space (+z forward) ->
+    (V, 2) pixel coords."""
+    xy = verts[..., :2] / jnp.maximum(verts[..., 2:3], 1e-6)
+    return xy * focal + center
+
+
+@partial(jax.jit, static_argnames=("height", "width", "face_chunk"))
+def rasterize(verts: jnp.ndarray, faces: jnp.ndarray, colors: jnp.ndarray,
+              focal: jnp.ndarray, center: jnp.ndarray, *, height: int,
+              width: int, face_chunk: int = 512):
+    """Render one mesh.
+
+    verts: (V, 3) camera-space; faces: (F, 3) int32; colors: (V, 3) vertex
+    colors in [0, 1]; focal: scalar or (2,); center: (2,).
+    Returns (rgb (H, W, 3), alpha (H, W), depth (H, W)).
+    """
+    V = verts.shape[0]
+    F = faces.shape[0]
+    pad = (-F) % face_chunk
+    if pad:
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
+        valid = jnp.concatenate(
+            [jnp.ones((F,), bool), jnp.zeros((pad,), bool)])
+    else:
+        valid = jnp.ones((F,), bool)
+    n_chunks = faces.shape[0] // face_chunk
+
+    pts2d = project(verts, focal, center)                  # (V, 2)
+    zs = verts[:, 2]
+
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    px = jnp.broadcast_to(xs[None, :], (height, width))
+    py = jnp.broadcast_to(ys[:, None], (height, width))
+
+    faces_r = faces.reshape(n_chunks, face_chunk, 3)
+    valid_r = valid.reshape(n_chunks, face_chunk)
+
+    init = (jnp.full((height, width), jnp.inf, jnp.float32),   # zbuf
+            jnp.zeros((height, width, 3), jnp.float32),        # rgb
+            jnp.zeros((height, width), jnp.float32))           # alpha
+
+    def body(carry, inputs):
+        zbuf, rgb, alpha = carry
+        f, ok = inputs                                     # (C, 3), (C,)
+        tri = pts2d[f]                                     # (C, 3, 2)
+        tz = zs[f]                                         # (C, 3)
+        tc = colors[f]                                     # (C, 3, 3)
+
+        x0, y0 = tri[:, 0, 0], tri[:, 0, 1]
+        x1, y1 = tri[:, 1, 0], tri[:, 1, 1]
+        x2, y2 = tri[:, 2, 0], tri[:, 2, 1]
+        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)
+
+        # barycentrics per pixel per face: (C, H, W)
+        def edge(ax, ay, bx, by):
+            return ((bx[:, None, None] - ax[:, None, None])
+                    * (py[None] - ay[:, None, None])
+                    - (by[:, None, None] - ay[:, None, None])
+                    * (px[None] - ax[:, None, None]))
+
+        w0 = edge(x1, y1, x2, y2) * inv_area[:, None, None]
+        w1 = edge(x2, y2, x0, y0) * inv_area[:, None, None]
+        w2 = 1.0 - w0 - w1
+
+        front = tz > 1e-6
+        cover = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                 & (jnp.abs(area) > 1e-9)[:, None, None]
+                 & ok[:, None, None]
+                 & front.all(axis=1)[:, None, None])
+        z = (w0 * tz[:, 0, None, None] + w1 * tz[:, 1, None, None]
+             + w2 * tz[:, 2, None, None])
+        z = jnp.where(cover, z, jnp.inf)
+
+        # nearest face in this chunk per pixel
+        best = jnp.argmin(z, axis=0)                        # (H, W)
+        zmin = jnp.take_along_axis(z, best[None], axis=0)[0]
+        hit = jnp.isfinite(zmin) & (zmin < zbuf)
+
+        def gather_w(w):
+            return jnp.take_along_axis(w, best[None], axis=0)[0]
+
+        w0b, w1b, w2b = gather_w(w0), gather_w(w1), gather_w(w2)
+        col_f = tc[best]                                    # (H, W, 3, 3)
+        col = (w0b[..., None] * col_f[..., 0, :]
+               + w1b[..., None] * col_f[..., 1, :]
+               + w2b[..., None] * col_f[..., 2, :])
+
+        zbuf = jnp.where(hit, zmin, zbuf)
+        rgb = jnp.where(hit[..., None], col, rgb)
+        alpha = jnp.where(hit, 1.0, alpha)
+        return (zbuf, rgb, alpha), None
+
+    (zbuf, rgb, alpha), _ = jax.lax.scan(body, init, (faces_r, valid_r))
+    depth = jnp.where(jnp.isfinite(zbuf), zbuf, 0.0)
+    return rgb, alpha, depth
+
+
+def render_over(rgb: jnp.ndarray, alpha: jnp.ndarray,
+                background: jnp.ndarray) -> jnp.ndarray:
+    """Alpha-composite the render over a background frame (reference
+    render_rgba_multiple overlay semantics)."""
+    return rgb * alpha[..., None] + background * (1 - alpha[..., None])
+
+
+def render_frames(verts_per_frame: jnp.ndarray, faces: jnp.ndarray,
+                  colors: jnp.ndarray, focal, center, *, height: int,
+                  width: int, face_chunk: int = 512):
+    """vmap over frames: verts (T, V, 3) -> (T, H, W, 3), (T, H, W)."""
+    fn = lambda v: rasterize(v, faces, colors, focal, center, height=height,
+                             width=width, face_chunk=face_chunk)
+    rgb, alpha, depth = jax.vmap(fn)(verts_per_frame)
+    return rgb, alpha, depth

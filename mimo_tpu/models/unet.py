@@ -1,0 +1,533 @@
+"""SD1.5 UNet family, TPU-native: the 2D *reference* UNet and the 3D
+*denoising* UNet share one parameter layout and one set of block functions.
+
+Key departures from the PyTorch reference (all functionally equivalent):
+
+- The reference injects reference-image features by monkey-patching block
+  forwards (``ReferenceAttentionControl``, src/models/mutual_self_attention.py:19).
+  Here the dataflow is explicit: ``unet2d_apply`` *returns* the list of
+  pre-self-attention hidden states ("banks"), ``unet3d_apply`` *takes* them.
+  Banks pair by structural position; the reference pairs via a stable sort on
+  channel width over two identical topologies (mutual_self_attention.py:313-350),
+  which yields the same pairing.
+- Channels-last layouts; video tensors are (B, F, H, W, C) and frames fold
+  into the batch for all spatial ops (the reference's InflatedConv3d /
+  InflatedGroupNorm rearranges, src/models/resnet.py:9-28).
+- CFG batches are an explicit leading axis of size 2 ([uncond; cond]); the
+  uncond half gets plain self-attention, the cond half concatenates the bank
+  as extra K/V (reference: mutual_self_attention.py:154-197 with uc_mask).
+- Cross-attention context is a single CLIP image token, so softmax over one
+  key is the identity: cross-attn reduces *exactly* to to_out(to_v(ctx)),
+  broadcast over queries. We exploit that.
+
+Architecture provenance:
+- topology/defaults: src/models/unet_3d_edit_bkfill.py:33-116 + SD1.5 config
+  (block_out_channels (320,640,1280,1280), layers_per_block 2, heads 8,
+  cross_attention_dim 768); in_channels forced to 8 for the denoiser
+  (unet_3d_edit_bkfill.py:88-91); pose features added after conv_in
+  (unet_3d_edit_bkfill.py:484-485).
+- block op order: src/models/unet_3d_blocks.py:276-293 (mid:
+  resnet0, then attn→motion→resnet per layer), :440-455 (down:
+  resnet→attn→motion, then downsample), :560-575 (plain down:
+  resnet→motion), :820-860 (up: concat-skip→resnet[→attn]→motion, upsample).
+- spatial transformer: src/models/transformer_3d.py:27-169 (GN eps 1e-6 →
+  1x1 conv proj_in → 1 BasicTransformerBlock → 1x1 conv proj_out → +res).
+- motion module: src/models/motion_module.py:44-390 (GN eps 1e-6 → linear
+  proj_in → [2× (LN → temporal self-attn w/ sinusoidal PE) → LN → GEGLU FF]
+  → zero-init linear proj_out → +res), PE max_len 32
+  (configs/inference/inference_v2.yaml:20-21).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mimo_tpu.config import MotionModuleConfig, UNetConfig
+from mimo_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# resnet block (time-conditioned)
+# ---------------------------------------------------------------------------
+
+
+def resnet_init(key, c_in: int, c_out: int, temb_dim: Optional[int],
+                dtype=jnp.float32) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm1": L.group_norm_init(c_in, dtype),
+        "conv1": L.conv2d_init(k1, 3, 3, c_in, c_out, dtype=dtype),
+        "norm2": L.group_norm_init(c_out, dtype),
+        "conv2": L.conv2d_init(k2, 3, 3, c_out, c_out, dtype=dtype),
+    }
+    if temb_dim is not None:
+        p["temb_proj"] = L.linear_init(k3, temb_dim, c_out, dtype=dtype)
+    if c_in != c_out:
+        p["shortcut"] = L.conv2d_init(k4, 1, 1, c_in, c_out, dtype=dtype)
+    return p
+
+
+def resnet_apply(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray],
+                 groups: int, eps: float) -> jnp.ndarray:
+    """x: (N, H, W, C); temb: (N, T) already per-sample."""
+    h = L.group_norm(p["norm1"], x, groups, eps)
+    h = L.silu(h)
+    h = L.conv2d(p["conv1"], h, padding=1)
+    if temb is not None and "temb_proj" in p:
+        t = L.linear(p["temb_proj"], L.silu(temb))
+        h = h + t[:, None, None, :].astype(h.dtype)
+    h = L.group_norm(p["norm2"], h, groups, eps)
+    h = L.silu(h)
+    h = L.conv2d(p["conv2"], h, padding=1)
+    if "shortcut" in p:
+        x = L.conv2d(p["shortcut"], x, padding=0)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# spatial transformer (Transformer2D/3D equivalent)
+# ---------------------------------------------------------------------------
+
+
+def spatial_transformer_init(key, channels: int, ctx_dim: int,
+                             dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 8)
+    return {
+        "norm": L.group_norm_init(channels, dtype),
+        "proj_in": L.conv2d_init(k[0], 1, 1, channels, channels, dtype=dtype),
+        "norm1": L.layer_norm_init(channels, dtype),
+        "attn1": L.mha_init(k[1], channels, dtype=dtype),
+        "norm2": L.layer_norm_init(channels, dtype),
+        "attn2": L.mha_init(k[2], channels, context_dim=ctx_dim, dtype=dtype),
+        "norm3": L.layer_norm_init(channels, dtype),
+        "ff": L.geglu_ff_init(k[3], channels, dtype=dtype),
+        "proj_out": L.conv2d_init(k[4], 1, 1, channels, channels, dtype=dtype),
+    }
+
+
+def _self_attn_banked(p_attn: Params, x_norm: jnp.ndarray,
+                      bank: Optional[jnp.ndarray], heads: int,
+                      cfg_split: bool) -> jnp.ndarray:
+    """Self-attention where the cond half of the batch attends over
+    [own tokens ‖ bank tokens].
+
+    x_norm: (N, S, C). bank: (Lb, C) cond-written bank tokens (already
+    selected to the cond entry), or None. If cfg_split, the first N/2
+    entries are the uncond half and use plain self-attention.
+    """
+    q = L.linear(p_attn["to_q"], x_norm)
+    k = L.linear(p_attn["to_k"], x_norm)
+    v = L.linear(p_attn["to_v"], x_norm)
+    if bank is None:
+        o = L.sdpa(q, k, v, heads)
+        return L.linear(p_attn["to_out"], o)
+
+    kb = L.linear(p_attn["to_k"], bank[None])  # (1, Lb, inner)
+    vb = L.linear(p_attn["to_v"], bank[None])
+    n = x_norm.shape[0]
+
+    def with_bank(qs, ks, vs):
+        m = qs.shape[0]
+        kbx = jnp.broadcast_to(kb, (m,) + kb.shape[1:])
+        vbx = jnp.broadcast_to(vb, (m,) + vb.shape[1:])
+        return L.sdpa(qs, jnp.concatenate([ks, kbx], axis=1),
+                      jnp.concatenate([vs, vbx], axis=1), heads)
+
+    if cfg_split:
+        h = n // 2
+        o_unc = L.sdpa(q[:h], k[:h], v[:h], heads)
+        o_cond = with_bank(q[h:], k[h:], v[h:])
+        o = jnp.concatenate([o_unc, o_cond], axis=0)
+    else:
+        o = with_bank(q, k, v)
+    return L.linear(p_attn["to_out"], o)
+
+
+def _cross_attn_single_token(p_attn: Params, x: jnp.ndarray,
+                             ctx: jnp.ndarray) -> jnp.ndarray:
+    """Cross-attention with a single context token reduces exactly to
+    to_out(to_v(ctx)) broadcast over queries (softmax over 1 key == 1).
+
+    ctx: (N, 1, D). Returns (N, S, C)-broadcastable (N, 1, C).
+    """
+    v = L.linear(p_attn["to_v"], ctx)
+    return L.linear(p_attn["to_out"], v)
+
+
+def spatial_transformer_apply(
+    p: Params, x: jnp.ndarray, ctx: jnp.ndarray, cfg: UNetConfig,
+    bank_out: Optional[List[jnp.ndarray]] = None,
+    bank_in: Optional[jnp.ndarray] = None,
+    cfg_split: bool = False,
+) -> jnp.ndarray:
+    """x: (N, H, W, C); ctx: (N, Lc, D) CLIP tokens (Lc==1 fast path).
+
+    If bank_out is not None (write mode / 2D reference role), the pre-attn
+    normed tokens are appended to it.
+    If bank_in is not None (read mode / 3D denoiser role), it is (Lb, C)
+    cond-bank tokens concatenated as extra self-attn K/V for the cond half.
+    """
+    n, hgt, wid, c = x.shape
+    residual = x
+    h = L.group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6)
+    h = L.conv2d(p["proj_in"], h, padding=0)
+    tokens = h.reshape(n, hgt * wid, c)
+
+    # --- basic transformer block ---
+    norm1 = L.layer_norm(p["norm1"], tokens)
+    if bank_out is not None:
+        bank_out.append(norm1)
+    attn1 = _self_attn_banked(p["attn1"], norm1, bank_in, cfg.num_heads,
+                              cfg_split)
+    tokens = tokens + attn1
+
+    norm2 = L.layer_norm(p["norm2"], tokens)
+    if ctx.shape[1] == 1:
+        attn2 = _cross_attn_single_token(p["attn2"], norm2, ctx)
+    else:
+        attn2 = L.mha(p["attn2"], norm2, ctx, cfg.num_heads)
+    tokens = tokens + attn2
+
+    norm3 = L.layer_norm(p["norm3"], tokens)
+    tokens = tokens + L.geglu_ff(p["ff"], norm3)
+
+    h = tokens.reshape(n, hgt, wid, c)
+    h = L.conv2d(p["proj_out"], h, padding=0)
+    return h + residual
+
+
+# ---------------------------------------------------------------------------
+# motion module (AnimateDiff Vanilla temporal transformer)
+# ---------------------------------------------------------------------------
+
+
+def motion_module_init(key, channels: int, mcfg: MotionModuleConfig,
+                       dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 2 + mcfg.num_transformer_blocks * 8)
+    blocks = []
+    ki = 2
+    for _ in range(mcfg.num_transformer_blocks):
+        attns = []
+        for _ in range(mcfg.attentions_per_block):
+            attns.append({
+                "norm": L.layer_norm_init(channels, dtype),
+                "attn": L.mha_init(keys[ki], channels, dtype=dtype),
+            })
+            ki += 1
+        blocks.append({
+            "attns": attns,
+            "ff_norm": L.layer_norm_init(channels, dtype),
+            "ff": L.geglu_ff_init(keys[ki], channels, dtype=dtype),
+        })
+        ki += 1
+    return {
+        "norm": L.group_norm_init(channels, dtype),
+        "proj_in": L.linear_init(keys[0], channels, channels, dtype=dtype),
+        "blocks": blocks,
+        # zero-init output projection (reference motion_module.py:72-74)
+        "proj_out": {"kernel": jnp.zeros((channels, channels), dtype),
+                     "bias": jnp.zeros((channels,), dtype)},
+    }
+
+
+def _temporal_pe(f: int, dim: int, dtype) -> jnp.ndarray:
+    """Sinusoidal positional encoding (reference motion_module.py:264-279)."""
+    position = jnp.arange(f, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    ang = position * div
+    pe = jnp.zeros((f, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(ang))
+    pe = pe.at[:, 1::2].set(jnp.cos(ang))
+    return pe.astype(dtype)
+
+
+def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
+                        mcfg: MotionModuleConfig) -> jnp.ndarray:
+    """x: (B*F, H, W, C) -> same. Temporal self-attention over the frame axis
+    at every spatial location."""
+    n, hgt, wid, c = x.shape
+    b = n // frames
+    residual = x
+    h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6)
+    tokens = h.reshape(n, hgt * wid, c)
+    tokens = L.linear(p["proj_in"], tokens)
+
+    # (B*F, S, C) -> (B*S, F, C)
+    def to_temporal(t):
+        t = t.reshape(b, frames, hgt * wid, c)
+        t = jnp.transpose(t, (0, 2, 1, 3))
+        return t.reshape(b * hgt * wid, frames, c)
+
+    def from_temporal(t):
+        t = t.reshape(b, hgt * wid, frames, c)
+        t = jnp.transpose(t, (0, 2, 1, 3))
+        return t.reshape(n, hgt * wid, c)
+
+    tokens = to_temporal(tokens)
+    pe = _temporal_pe(frames, c, tokens.dtype)
+
+    for blk in p["blocks"]:
+        for a in blk["attns"]:
+            normed = L.layer_norm(a["norm"], tokens)
+            # PE is added to the *normed* states before qkv
+            # (reference motion_module.py:361-368)
+            normed = normed + pe[None]
+            tokens = tokens + L.mha(a["attn"], normed, None, mcfg.num_heads)
+        ff_in = L.layer_norm(blk["ff_norm"], tokens)
+        tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
+
+    tokens = from_temporal(tokens)
+    tokens = L.linear(p["proj_out"], tokens)
+    return tokens.reshape(n, hgt, wid, c) + residual
+
+
+# ---------------------------------------------------------------------------
+# UNet init (shared 2D/3D layout)
+# ---------------------------------------------------------------------------
+
+
+def unet_init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 256))
+    ch = cfg.block_out_channels
+    temb_dim = cfg.time_embed_dim
+    mm = cfg.use_motion_module
+
+    def maybe_motion(c):
+        return motion_module_init(next(keys), c, cfg.motion, dtype) if mm else None
+
+    p: Params = {
+        "conv_in": L.conv2d_init(next(keys), 3, 3, cfg.in_channels, ch[0],
+                                 dtype=dtype),
+        "time_mlp": L.time_mlp_init(next(keys), ch[0], temb_dim, dtype=dtype),
+    }
+
+    # down blocks
+    down = []
+    c_prev = ch[0]
+    for i, c_out in enumerate(ch):
+        is_last = i == len(ch) - 1
+        has_attn = cfg.cross_attn_blocks[i]
+        blk: Params = {"resnets": [], "attns": [] if has_attn else None,
+                       "motions": [] if mm else None}
+        c_in = c_prev
+        for _ in range(cfg.layers_per_block):
+            blk["resnets"].append(resnet_init(next(keys), c_in, c_out,
+                                              temb_dim, dtype))
+            c_in = c_out
+            if has_attn:
+                blk["attns"].append(spatial_transformer_init(
+                    next(keys), c_out, cfg.cross_attention_dim, dtype))
+            if mm:
+                blk["motions"].append(maybe_motion(c_out))
+        blk["downsample"] = (None if is_last else
+                             L.conv2d_init(next(keys), 3, 3, c_out, c_out,
+                                           dtype=dtype))
+        down.append(blk)
+        c_prev = c_out
+    p["down"] = down
+
+    # mid block
+    c_mid = ch[-1]
+    p["mid"] = {
+        "resnets": [resnet_init(next(keys), c_mid, c_mid, temb_dim, dtype),
+                    resnet_init(next(keys), c_mid, c_mid, temb_dim, dtype)],
+        "attns": [spatial_transformer_init(next(keys), c_mid,
+                                           cfg.cross_attention_dim, dtype)],
+        "motions": ([maybe_motion(c_mid)]
+                    if (mm and cfg.motion_module_mid_block) else None),
+    }
+
+    # up blocks (reverse order)
+    up = []
+    rev = list(reversed(ch))            # e.g. (1280,1280,640,320)
+    rev_attn = list(reversed(cfg.cross_attn_blocks))
+    c_prev = ch[-1]
+    for i, c_out in enumerate(rev):
+        is_last = i == len(rev) - 1
+        has_attn = rev_attn[i]
+        # skip channels: layers_per_block+1 skips popped from the down stack
+        skip_src = [rev[min(i + 1, len(rev) - 1)] if j == cfg.layers_per_block
+                    else c_out for j in range(cfg.layers_per_block + 1)]
+        blk = {"resnets": [], "attns": [] if has_attn else None,
+               "motions": [] if mm else None}
+        c_in = c_prev
+        for j in range(cfg.layers_per_block + 1):
+            blk["resnets"].append(resnet_init(
+                next(keys), c_in + skip_src[j], c_out, temb_dim, dtype))
+            c_in = c_out
+            if has_attn:
+                blk["attns"].append(spatial_transformer_init(
+                    next(keys), c_out, cfg.cross_attention_dim, dtype))
+            if mm:
+                blk["motions"].append(maybe_motion(c_out))
+        blk["upsample"] = (None if is_last else
+                           L.conv2d_init(next(keys), 3, 3, c_out, c_out,
+                                         dtype=dtype))
+        up.append(blk)
+        c_prev = c_out
+    p["up"] = up
+
+    p["norm_out"] = L.group_norm_init(ch[0], dtype)
+    p["conv_out"] = L.conv2d_init(next(keys), 3, 3, ch[0], cfg.out_channels,
+                                  dtype=dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# shared forward core
+# ---------------------------------------------------------------------------
+
+
+def _time_embedding(p: Params, cfg: UNetConfig, t: jnp.ndarray,
+                    batch: int, dtype) -> jnp.ndarray:
+    t = jnp.broadcast_to(jnp.atleast_1d(t), (batch,))
+    emb = L.sinusoidal_timestep_embedding(
+        t, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+    return L.time_mlp(p["time_mlp"], emb.astype(dtype))
+
+
+def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
+               ctx: jnp.ndarray, frames: int,
+               banks_out: Optional[List[jnp.ndarray]],
+               banks_in: Optional[List[jnp.ndarray]],
+               cfg_split: bool, skip_out_head: bool) -> jnp.ndarray:
+    """Runs down → mid → up [→ head] on h = conv_in(x) [+ pose].
+    h: (N, H, W, C0) with N = B*frames."""
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    mm = cfg.use_motion_module
+    bank_i = 0
+
+    def next_bank():
+        nonlocal bank_i
+        if banks_in is None:
+            return None
+        b = banks_in[bank_i]
+        bank_i += 1
+        return b
+
+    skips = [h]
+    for blk in p["down"]:
+        for j, rp in enumerate(blk["resnets"]):
+            h = resnet_apply(rp, h, temb, g, eps)
+            if blk["attns"] is not None:
+                h = spatial_transformer_apply(
+                    blk["attns"][j], h, ctx, cfg,
+                    bank_out=banks_out, bank_in=next_bank(),
+                    cfg_split=cfg_split)
+            if mm and blk["motions"] is not None:
+                h = motion_module_apply(blk["motions"][j], h, frames,
+                                        cfg.motion)
+            skips.append(h)
+        if blk["downsample"] is not None:
+            h = L.conv2d(blk["downsample"], h, stride=2, padding=1)
+            skips.append(h)
+
+    # mid
+    mid = p["mid"]
+    h = resnet_apply(mid["resnets"][0], h, temb, g, eps)
+    h = spatial_transformer_apply(mid["attns"][0], h, ctx, cfg,
+                                  bank_out=banks_out, bank_in=next_bank(),
+                                  cfg_split=cfg_split)
+    if mm and mid["motions"] is not None:
+        h = motion_module_apply(mid["motions"][0], h, frames, cfg.motion)
+    h = resnet_apply(mid["resnets"][1], h, temb, g, eps)
+
+    # up
+    for blk in p["up"]:
+        for j, rp in enumerate(blk["resnets"]):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = resnet_apply(rp, h, temb, g, eps)
+            if blk["attns"] is not None:
+                h = spatial_transformer_apply(
+                    blk["attns"][j], h, ctx, cfg,
+                    bank_out=banks_out, bank_in=next_bank(),
+                    cfg_split=cfg_split)
+            if mm and blk["motions"] is not None:
+                h = motion_module_apply(blk["motions"][j], h, frames,
+                                        cfg.motion)
+        if blk["upsample"] is not None:
+            # target the next skip's spatial dims (odd sizes: 13→25, not 26;
+            # reference unet_3d_edit_bkfill.py:540-548 upsample_size)
+            th, tw = skips[-1].shape[1], skips[-1].shape[2]
+            h = L.upsample_nearest_to(h, th, tw)
+            h = L.conv2d(blk["upsample"], h, padding=1)
+
+    if skip_out_head:
+        return h
+    h = L.group_norm(p["norm_out"], h, g, eps)
+    h = L.silu(h)
+    return L.conv2d(p["conv_out"], h, padding=1)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+
+def unet2d_apply(p: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray,
+                 ctx: jnp.ndarray) -> List[jnp.ndarray]:
+    """Reference-UNet role: run once on ref-image latents, return banks.
+
+    x: (B, H, W, 4); ctx: (B, 1, 768) CLIP image embeds. The output sample is
+    discarded — the reference disables the final norm/act/conv too
+    (src/models/unet_2d_condition.py:1296-1299). Returns the 16 bank tensors
+    (one per spatial transformer, structural order down→mid→up), each
+    (B, S_block, C_block).
+    """
+    banks: List[jnp.ndarray] = []
+    temb = _time_embedding(p, cfg, t, x.shape[0], x.dtype)
+    h = L.conv2d(p["conv_in"], x, padding=1)
+    _unet_core(p, cfg, h, temb, ctx, frames=1, banks_out=banks,
+               banks_in=None, cfg_split=False, skip_out_head=True)
+    return banks
+
+
+def unet3d_apply(p: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray,
+                 ctx: jnp.ndarray, pose_fea: Optional[jnp.ndarray],
+                 banks: Optional[List[jnp.ndarray]],
+                 cfg_split: bool = False) -> jnp.ndarray:
+    """Denoising-UNet role.
+
+    x: (B, F, H, W, Cin) — Cin = 8 = noise ‖ background latents.
+    t: scalar timestep (shared across batch).
+    ctx: (B, 1, 768) per-sample CLIP embeds ([uncond; cond] halves if CFG).
+    pose_fea: (B, F, H/8, W/8, 320) pose-guider features, added post conv_in.
+    banks: list of (S_block, C_block) cond-written bank tensors (structural
+      order); the cond half of the batch attends over them.
+    cfg_split: True when the first B/2 samples are the uncond CFG half.
+    Returns (B, F, H, W, out_channels).
+    """
+    bsz, frames, hgt, wid, cin = x.shape
+    xf = x.reshape(bsz * frames, hgt, wid, cin)
+    temb = _time_embedding(p, cfg, t, bsz, x.dtype)
+    # per-frame broadcast of batch-level conditioning
+    temb = jnp.repeat(temb, frames, axis=0)
+    ctxf = jnp.repeat(ctx, frames, axis=0)
+
+    h = L.conv2d(p["conv_in"], xf, padding=1)
+    if pose_fea is not None:
+        h = h + pose_fea.reshape(bsz * frames, hgt, wid, -1).astype(h.dtype)
+
+    out = _unet_core(p, cfg, h, temb, ctxf, frames=frames, banks_out=None,
+                     banks_in=banks, cfg_split=cfg_split, skip_out_head=False)
+    return out.reshape(bsz, frames, hgt, wid, cfg.out_channels)
+
+
+def num_banks(cfg: UNetConfig) -> int:
+    """Number of spatial-transformer banks (16 for SD1.5 topology)."""
+    n = 0
+    for i, has in enumerate(cfg.cross_attn_blocks):
+        if has:
+            n += cfg.layers_per_block
+    n += 1  # mid
+    for i, has in enumerate(reversed(cfg.cross_attn_blocks)):
+        if has:
+            n += cfg.layers_per_block + 1
+    return n

@@ -1,0 +1,2 @@
+from mimo_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh, shard_batch, replicate)

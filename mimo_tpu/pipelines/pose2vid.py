@@ -1,0 +1,257 @@
+"""Pose2Video pipeline — the denoising orchestrator, as one compiled program.
+
+Reference semantics (src/pipelines/pipeline_pose2vid_long_edit_bkfill_roiclip.py:339-569):
+  CLIP image embed (+ zero uncond) → VAE-encode ref image and per-frame
+  background frames → pose-guider features → one reference-UNet pass writing
+  attention banks → 25-step DDIM loop where each step runs the denoising
+  UNet over sliding temporal windows, accumulates overlapping v-predictions
+  with a per-frame counter, applies CFG, steps DDIM → VAE-decode all frames.
+
+TPU-native restructuring (all math-preserving):
+- the reference's per-window Python loop becomes a single batched UNet call
+  over all windows (they are independent within a step; the bank features
+  are read-only) — the batch shards across the mesh `data` axis;
+- the per-frame VAE encode/decode Python loops become single batched calls;
+- overlap-averaging (noise_pred/counter, reference :540-546) becomes a
+  scatter-add with a precomputed static counter;
+- the step loop is `lax.scan`; window indices are static (the reference
+  always schedules windows with step=0, :492-500, so the window set is
+  constant across steps);
+- CFG batches are contiguous halves [uncond; cond] (see models/unet.py).
+
+Memory control: `window_chunk` runs the window batch in chunks via
+`lax.fori_loop` (replaces the reference's context_batch_size) while staying
+inside one compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mimo_tpu.config import MIMOConfig
+from mimo_tpu.models import clip_vision as CV
+from mimo_tpu.models import pose_guider as PG
+from mimo_tpu.models import unet as U
+from mimo_tpu.models import vae as V
+from mimo_tpu.pipelines.context import compute_windows
+from mimo_tpu.schedulers.ddim import DDIM
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class Pose2VideoStatic:
+    """Static (compile-time) pipeline configuration."""
+
+    cfg: MIMOConfig
+    num_frames: int
+    height: int
+    width: int
+    num_inference_steps: int
+    guidance_scale: float
+    window_chunk: Optional[int] = None   # None = all windows at once
+    pad_windows_to: int = 1              # multiple for mesh-even batches
+    mesh_axis: Optional[str] = None      # shard window batch over this axis
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.guidance_scale > 1.0
+
+
+def make_windows(st: Pose2VideoStatic) -> Tuple[np.ndarray, np.ndarray]:
+    pcfg = st.cfg.pipeline
+    return compute_windows(
+        st.num_frames, min(pcfg.context_frames, st.num_frames),
+        pcfg.context_stride, pcfg.context_overlap,
+        pad_to_multiple=st.pad_windows_to)
+
+
+def prepare_conditioning(
+    params: Params, st: Pose2VideoStatic, ref_image: jnp.ndarray,
+    pose_video: jnp.ndarray, bk_video: jnp.ndarray,
+    clip_pixels: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """All the once-per-generation encoders, batched.
+
+    ref_image:  (H, W, 3) in [-1, 1]
+    pose_video: (F, H, W, 3) in [0, 1]  (cond_image_processor has
+                do_normalize=False, pipeline...roiclip.py:76-80)
+    bk_video:   (F, H, W, 3) in [-1, 1]
+    clip_pixels:(224, 224, 3) CLIP-normalized ref image
+    """
+    cfg = st.cfg
+    # CLIP image embedding + zero uncond (pipeline...roiclip.py:378-391)
+    image_embeds = CV.clip_image_embed(params["clip"], cfg.clip_vision,
+                                       clip_pixels[None])          # (1, 768)
+    ctx_cond = image_embeds[:, None, :]                            # (1,1,768)
+    ctx_uncond = jnp.zeros_like(ctx_cond)
+
+    # VAE encodes: ref + all background frames in one batch
+    enc_in = jnp.concatenate([ref_image[None], bk_video], axis=0)
+    latents = V.encode_mean(params["vae"], cfg.vae, enc_in)
+    ref_latents = latents[:1]                                      # (1,h,w,4)
+    bk_latents = latents[1:]                                       # (F,h,w,4)
+
+    # pose features at latent resolution
+    pose_fea = PG.pose_guider_apply(params["pose_guider"],
+                                    pose_video[None])[0]           # (F,h,w,C0)
+
+    # reference UNet pass (t=0) writes banks; batch 2 = [uncond; cond]
+    # (pipeline...roiclip.py:479-490)
+    if st.do_cfg:
+        ref_in = jnp.concatenate([ref_latents, ref_latents], axis=0)
+        ref_ctx = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
+    else:
+        ref_in, ref_ctx = ref_latents, ctx_cond
+    banks = U.unet2d_apply(params["reference_unet"], cfg.reference_unet,
+                           ref_in, jnp.zeros((), jnp.int32), ref_ctx)
+    cond_banks = [b[-1] for b in banks]  # cond-written entries (see unet.py)
+
+    return {
+        "ctx_cond": ctx_cond,
+        "ctx_uncond": ctx_uncond,
+        "ref_latents": ref_latents,
+        "bk_latents": bk_latents,
+        "pose_fea": pose_fea,
+        "cond_banks": cond_banks,
+    }
+
+
+def denoise(
+    params: Params, st: Pose2VideoStatic, ddim: DDIM,
+    cond: Dict[str, jnp.ndarray], init_latents: jnp.ndarray,
+    windows: np.ndarray, window_weights: np.ndarray,
+) -> jnp.ndarray:
+    """Run the full DDIM loop. init_latents: (F, h, w, 4). Returns final
+    latents (F, h, w, 4)."""
+    cfg = st.cfg
+    ucfg = cfg.denoising_unet
+    g = st.guidance_scale
+    do_cfg = st.do_cfg
+    F = st.num_frames
+    Wn, cs = windows.shape
+    win = jnp.asarray(windows)                       # (W, cs)
+    wts = jnp.asarray(window_weights)                # (W,)
+
+    # static per-frame counter (reference counter, :540-546), fp32
+    counter = jnp.zeros((F,), jnp.float32).at[win.reshape(-1)].add(
+        jnp.repeat(wts, cs))
+    counter = jnp.maximum(counter, 1e-6)[:, None, None, None]
+
+    bk = cond["bk_latents"]
+    pose = cond["pose_fea"]
+    banks = cond["cond_banks"]
+
+    chunk = st.window_chunk or Wn
+    assert Wn % chunk == 0, (Wn, chunk)
+    n_chunks = Wn // chunk
+
+    def run_unet_window_chunk(latents, t, w_idx):
+        """w_idx: (chunk, cs) frame indices. Returns (chunk, cs, h, w, 4)
+        cond/uncond v-predictions."""
+        lat_w = latents[w_idx]                       # (chunk, cs, h, w, 4)
+        bk_w = bk[w_idx]
+        pose_w = pose[w_idx]
+        if do_cfg:
+            x = jnp.concatenate([lat_w, lat_w], axis=0)
+            bkx = jnp.concatenate([bk_w, bk_w], axis=0)
+            posex = jnp.concatenate([pose_w, pose_w], axis=0)
+            ctx = jnp.concatenate([
+                jnp.broadcast_to(cond["ctx_uncond"],
+                                 (chunk,) + cond["ctx_uncond"].shape[1:]),
+                jnp.broadcast_to(cond["ctx_cond"],
+                                 (chunk,) + cond["ctx_cond"].shape[1:]),
+            ], axis=0)
+        else:
+            x, bkx, posex = lat_w, bk_w, pose_w
+            ctx = jnp.broadcast_to(cond["ctx_cond"],
+                                   (chunk,) + cond["ctx_cond"].shape[1:])
+        # 8-channel input: noise ‖ background latents
+        # (pipeline...roiclip.py:522-525; DDIM scale_model_input is identity)
+        x = jnp.concatenate([x, bkx], axis=-1)
+        if st.mesh_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            spec = P(st.mesh_axis)
+            x = jax.lax.with_sharding_constraint(x, spec)
+            posex = jax.lax.with_sharding_constraint(posex, spec)
+            ctx = jax.lax.with_sharding_constraint(ctx, spec)
+        pred = U.unet3d_apply(params["denoising_unet"], ucfg, x, t, ctx,
+                              posex, banks, cfg_split=do_cfg)
+        if st.mesh_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            pred = jax.lax.with_sharding_constraint(pred, P(st.mesh_axis))
+        return pred
+
+    def step_fn(latents, step_idx):
+        t = jnp.asarray(ddim.timesteps)[step_idx].astype(jnp.float32)
+
+        def chunk_body(ci, acc):
+            nsum_u, nsum_c = acc
+            sl = ci * chunk
+            w_idx = jax.lax.dynamic_slice_in_dim(win, sl, chunk, 0)
+            w_wt = jax.lax.dynamic_slice_in_dim(wts, sl, chunk, 0)
+            pred = run_unet_window_chunk(latents, t, w_idx)
+            pf = pred.astype(jnp.float32)
+            wt = w_wt[:, None, None, None, None]
+            flat_idx = w_idx.reshape(-1)
+            if do_cfg:
+                pu, pc = pf[:chunk] * wt, pf[chunk:] * wt
+                nsum_u = nsum_u.at[flat_idx].add(
+                    pu.reshape(-1, *pu.shape[2:]))
+                nsum_c = nsum_c.at[flat_idx].add(
+                    pc.reshape(-1, *pc.shape[2:]))
+            else:
+                pf = pf * wt
+                nsum_c = nsum_c.at[flat_idx].add(
+                    pf.reshape(-1, *pf.shape[2:]))
+            return nsum_u, nsum_c
+
+        zeros = jnp.zeros(latents.shape, jnp.float32)
+        nsum_u, nsum_c = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (zeros, jnp.zeros_like(zeros)))
+
+        if do_cfg:
+            v_u = nsum_u / counter
+            v_c = nsum_c / counter
+            v = v_u + g * (v_c - v_u)
+        else:
+            v = nsum_c / counter
+        new_latents = ddim.step_v(v, step_idx, latents)
+        return new_latents, ()
+
+    final, _ = jax.lax.scan(step_fn, init_latents,
+                            jnp.arange(ddim.num_steps))
+    return final
+
+
+def generate_fn(params: Params, st: Pose2VideoStatic,
+                ref_image: jnp.ndarray, pose_video: jnp.ndarray,
+                bk_video: jnp.ndarray, clip_pixels: jnp.ndarray,
+                noise: jnp.ndarray) -> jnp.ndarray:
+    """Full generation: conditioning → denoise → decode.
+
+    noise: (F, h, w, 4) standard normal (caller controls the PRNG so results
+    are reproducible under any sharding). Returns video (F, H, W, 3) in
+    [0, 1].
+    """
+    ddim = DDIM.create(st.cfg.pipeline.scheduler, st.num_inference_steps)
+    windows, wweights = make_windows(st)
+    cond = prepare_conditioning(params, st, ref_image, pose_video, bk_video,
+                                clip_pixels)
+    init_latents = noise * ddim.init_noise_sigma
+    latents = denoise(params, st, ddim, cond, init_latents, windows,
+                      wweights)
+    images = V.decode(params["vae"], st.cfg.vae, latents)
+    return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+
+
+def build_generate(params: Params, st: Pose2VideoStatic):
+    """jit-compiled generate() closed over params."""
+    fn = functools.partial(generate_fn, params, st)
+    return jax.jit(fn)

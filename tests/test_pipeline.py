@@ -1,0 +1,115 @@
+"""End-to-end tiny pipeline tests + mesh-sharding equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mimo_tpu import config as C
+from mimo_tpu.models import unet as U
+from mimo_tpu.models import vae as V
+from mimo_tpu.models import clip_vision as CV
+from mimo_tpu.models import pose_guider as PG
+from mimo_tpu.pipelines import pose2vid
+
+
+def tiny_params(cfg, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    return {
+        "reference_unet": U.unet_init(ks[0], cfg.reference_unet),
+        "denoising_unet": U.unet_init(ks[1], cfg.denoising_unet),
+        "pose_guider": PG.pose_guider_init(ks[2], cfg.pose_guider),
+        "vae": V.vae_init(ks[3], cfg.vae),
+        "clip": CV.clip_vision_init(ks[4], cfg.clip_vision),
+    }
+
+
+def tiny_inputs(cfg, F, H, W, key=1):
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    ds = cfg.vae.downscale
+    ref = jax.random.uniform(ks[0], (H, W, 3)) * 2 - 1
+    pose = jax.random.uniform(ks[1], (F, H, W, 3))
+    bk = jax.random.uniform(ks[2], (F, H, W, 3)) * 2 - 1
+    clip_px = jax.random.normal(
+        ks[3], (cfg.clip_vision.image_size, cfg.clip_vision.image_size, 3))
+    noise = jax.random.normal(ks[4], (F, H // ds, W // ds, 4))
+    return ref, pose, bk, clip_px, noise
+
+
+def test_generate_end_to_end_tiny():
+    cfg = C.tiny_mimo_config()
+    F, H, W = 6, 32, 32
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5)
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+    video = pose2vid.generate_fn(params, st, *inputs)
+    assert video.shape == (F, H, W, 3)
+    v = np.asarray(video)
+    assert np.isfinite(v).all()
+    assert v.min() >= 0.0 and v.max() <= 1.0
+
+
+def test_window_chunking_equivalent():
+    """Chunked window execution must match all-at-once exactly."""
+    cfg = C.tiny_mimo_config()
+    F, H, W = 10, 32, 32  # context 4, overlap 1 -> multiple windows
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+
+    st_all = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, pad_windows_to=2)
+    wins, _ = pose2vid.make_windows(st_all)
+    st_chunk = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, pad_windows_to=2, window_chunk=wins.shape[0] // 2)
+
+    v_all = np.asarray(pose2vid.generate_fn(params, st_all, *inputs))
+    v_chunk = np.asarray(pose2vid.generate_fn(params, st_chunk, *inputs))
+    np.testing.assert_allclose(v_all, v_chunk, atol=2e-5)
+
+
+def test_no_cfg_path():
+    cfg = C.tiny_mimo_config()
+    F, H, W = 4, 32, 32
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=1,
+        guidance_scale=1.0)
+    params = tiny_params(cfg)
+    video = pose2vid.generate_fn(params, st, *tiny_inputs(cfg, F, H, W))
+    assert video.shape == (F, H, W, 3)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_sharded_matches_single_device():
+    """Window batch sharded over an 8-device CPU mesh must match the
+    unsharded result (BASELINE north star: stable outputs across chip
+    counts)."""
+    cfg = C.tiny_mimo_config()
+    F, H, W = 10, 32, 32
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+    ndev = len(jax.devices())
+    assert ndev == 8, f"conftest should force 8 cpu devices, got {ndev}"
+
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, pad_windows_to=ndev)
+    st_sharded = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, pad_windows_to=ndev, mesh_axis="data")
+
+    baseline = np.asarray(pose2vid.generate_fn(params, st, *inputs))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    repl = NamedSharding(mesh, P())
+    params_r = jax.device_put(params, repl)
+    inputs_r = jax.device_put(inputs, repl)
+    with jax.set_mesh(mesh):
+        sharded = np.asarray(jax.jit(
+            lambda p, a, b, c, d, e: pose2vid.generate_fn(
+                p, st_sharded, a, b, c, d, e)
+        )(params_r, *inputs_r))
+    np.testing.assert_allclose(baseline, sharded, atol=2e-5)
