@@ -158,17 +158,12 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          heads: int) -> jnp.ndarray:
     """Scaled dot-product attention over (B, S, inner) tensors.
 
-    Splits heads, accumulates logits/softmax in fp32, returns (B, Sq, inner).
-    Uses XLA's fused attention path via jax.nn.dot_product_attention.
+    Splits heads, accumulates softmax statistics in fp32, returns
+    (B, Sq, inner). Long sequences dispatch to the Pallas flash kernel on
+    TPU (ops/attention.py); short ones use XLA's fused path.
     """
-    b, sq, inner = q.shape
-    sk = k.shape[1]
-    d = inner // heads
-    qh = q.reshape(b, sq, heads, d)
-    kh = k.reshape(b, sk, heads, d)
-    vh = v.reshape(b, sk, heads, d)
-    o = jax.nn.dot_product_attention(qh, kh, vh)
-    return o.reshape(b, sq, inner)
+    from mimo_tpu.ops.attention import dispatch_sdpa
+    return dispatch_sdpa(q, k, v, heads)
 
 
 def mha(p: Params, x: jnp.ndarray, context: Optional[jnp.ndarray],

