@@ -58,10 +58,29 @@ class Pose2VideoStatic:
     window_chunk: Optional[int] = None   # None = all windows at once
     pad_windows_to: int = 1              # multiple for mesh-even batches
     mesh_axis: Optional[str] = None      # shard window batch over this axis
+    vae_chunk: int = 4                   # frames per VAE call (full-res
+                                         # activations are ~200MB/frame)
 
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+
+def chunked_apply(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Apply fn to x in chunks along axis 0 inside one compiled program
+    (lax.map over padded chunks) — bounds peak memory of the full-res VAE
+    passes, replacing the reference's per-frame Python loops
+    (pipeline...roiclip.py:119-120,435-441) with a compiled loop."""
+    n = x.shape[0]
+    if chunk <= 0 or chunk >= n:
+        return fn(x)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    xs = x.reshape((x.shape[0] // chunk, chunk) + x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    ys = ys.reshape((-1,) + ys.shape[2:])
+    return ys[:n]
 
 
 def make_windows(st: Pose2VideoStatic) -> Tuple[np.ndarray, np.ndarray]:
@@ -92,9 +111,11 @@ def prepare_conditioning(
     ctx_cond = image_embeds[:, None, :]                            # (1,1,768)
     ctx_uncond = jnp.zeros_like(ctx_cond)
 
-    # VAE encodes: ref + all background frames in one batch
+    # VAE encodes: ref + all background frames, frame-chunked
     enc_in = jnp.concatenate([ref_image[None], bk_video], axis=0)
-    latents = V.encode_mean(params["vae"], cfg.vae, enc_in)
+    latents = chunked_apply(
+        lambda x: V.encode_mean(params["vae"], cfg.vae, x), enc_in,
+        st.vae_chunk)
     ref_latents = latents[:1]                                      # (1,h,w,4)
     bk_latents = latents[1:]                                       # (F,h,w,4)
 
@@ -247,7 +268,9 @@ def generate_fn(params: Params, st: Pose2VideoStatic,
     init_latents = noise * ddim.init_noise_sigma
     latents = denoise(params, st, ddim, cond, init_latents, windows,
                       wweights)
-    images = V.decode(params["vae"], st.cfg.vae, latents)
+    images = chunked_apply(
+        lambda z: V.decode(params["vae"], st.cfg.vae, z), latents,
+        st.vae_chunk)
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
 
 
