@@ -76,9 +76,8 @@ def sam_init(key, cfg: SAMConfig) -> Params:
                                          (cfg.num_mask_tokens, d)) * 0.02,
         "decoder": [_twoway_block_init(next(keys), d, cfg.decoder_heads)
                     for _ in range(cfg.decoder_depth)],
-        "final_attn": L.mha_init(next(keys), d, inner_dim=d // 2),
+        "final_attn": _sam_attn_init(next(keys), d, d // 2),
         "final_ln": L.layer_norm_init(d),
-        "out_ln": L.layer_norm_init(d),
         # upscaling: 2 conv-transpose stages d -> d/4 -> d/8
         "up1": _deconv_init(next(keys), d, d // 4),
         "up_ln": L.layer_norm_init(d // 4),
@@ -119,17 +118,29 @@ def _mlp3(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return L.linear(p["fc3"], x)
 
 
+def _sam_attn_init(key, d: int, inner: int) -> Params:
+    """SAM decoder attention: all projections carry biases (nn.Linear
+    defaults in the published SAM), optionally internally downsampled."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "to_q": L.linear_init(k1, d, inner),
+        "to_k": L.linear_init(k2, d, inner),
+        "to_v": L.linear_init(k3, d, inner),
+        "to_out": L.linear_init(k4, inner, d),
+    }
+
+
 def _twoway_block_init(key, d: int, heads: int) -> Params:
     k = jax.random.split(key, 6)
     return {
-        "self_attn": L.mha_init(k[0], d),
+        "self_attn": _sam_attn_init(k[0], d, d),
         "ln1": L.layer_norm_init(d),
-        "t2i": L.mha_init(k[1], d, inner_dim=d // 2),
+        "t2i": _sam_attn_init(k[1], d, d // 2),
         "ln2": L.layer_norm_init(d),
         "mlp_fc1": L.linear_init(k[2], d, 8 * d),
         "mlp_fc2": L.linear_init(k[3], 8 * d, d),
         "ln3": L.layer_norm_init(d),
-        "i2t": L.mha_init(k[4], d, inner_dim=d // 2),
+        "i2t": _sam_attn_init(k[4], d, d // 2),
         "ln4": L.layer_norm_init(d),
     }
 
@@ -207,27 +218,33 @@ def decode_masks(p: Params, cfg: SAMConfig, image_embed: jnp.ndarray,
     pos = _dense_pe(p, g, image_embed.dtype).reshape(1, g * g, d)
     pos = jnp.broadcast_to(pos, (B, g * g, d))
 
+    # SAM TwoWayTransformer semantics (post-norm; PEs added to q/k each
+    # layer, never to v; first block's self-attention skips the PE)
     q = tokens
-    for blk in p["decoder"]:
-        # token self-attention
-        q = L.layer_norm(blk["ln1"], q + L.mha(blk["self_attn"], q, None,
-                                               cfg.decoder_heads))
-        # token -> image cross attention (queries get PE)
-        attn = _xattn(blk["t2i"], q, src + pos, src, cfg.decoder_heads)
+    token_pe = tokens
+    for i, blk in enumerate(p["decoder"]):
+        if i == 0:
+            q = _xattn(blk["self_attn"], q, q, q, cfg.decoder_heads)
+        else:
+            qq = q + token_pe
+            q = q + _xattn(blk["self_attn"], qq, qq, q, cfg.decoder_heads)
+        q = L.layer_norm(blk["ln1"], q)
+        attn = _xattn(blk["t2i"], q + token_pe, src + pos, src,
+                      cfg.decoder_heads)
         q = L.layer_norm(blk["ln2"], q + attn)
-        # mlp
         m = L.linear(blk["mlp_fc2"],
                      jax.nn.relu(L.linear(blk["mlp_fc1"], q)))
         q = L.layer_norm(blk["ln3"], q + m)
-        # image -> token cross attention
-        attn_i = _xattn(blk["i2t"], src + pos, q, q, cfg.decoder_heads)
+        attn_i = _xattn(blk["i2t"], src + pos, q + token_pe, q,
+                        cfg.decoder_heads)
         src = L.layer_norm(blk["ln4"], src + attn_i)
 
-    q = q + L.mha(p["final_attn"], q, src + pos, cfg.decoder_heads)
+    q = q + _xattn(p["final_attn"], q + token_pe, src + pos, src,
+                   cfg.decoder_heads)
     q = L.layer_norm(p["final_ln"], q)
 
     # upscale image features and produce masks
-    img = L.layer_norm(p["out_ln"], src).reshape(B, g, g, d)
+    img = src.reshape(B, g, g, d)
     up = _deconv2x(p["up1"], img)
     up = jax.nn.gelu(L.layer_norm(p["up_ln"], up).astype(jnp.float32),
                      approximate=False).astype(up.dtype)

