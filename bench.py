@@ -27,6 +27,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the full generate() program takes tens of
+# minutes to compile cold on this stack; cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 def main():
     from mimo_tpu import config as C
@@ -65,13 +72,16 @@ def main():
     fn = jax.jit(lambda p, a, b, c, d, e: pose2vid.generate_fn(
         p, st, a, b, c, d, e))
 
+    def sync(x):
+        # block_until_ready does not reliably block under the axon tunnel;
+        # a scalar device reduction + host fetch does
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     # compile + warmup
-    out = fn(params, ref, pose, bk, clip_px, noise)
-    out.block_until_ready()
+    sync(fn(params, ref, pose, bk, clip_px, noise))
 
     t0 = time.perf_counter()
-    out = fn(params, ref, pose, bk, clip_px, noise)
-    out.block_until_ready()
+    sync(fn(params, ref, pose, bk, clip_px, noise))
     dt = time.perf_counter() - t0
 
     fps = F / dt

@@ -1,0 +1,167 @@
+"""Wire converted weights into a ready-to-run DecompModels bundle.
+
+This is the composition root for the decomposition half: given a directory
+of converted .npz weight bundles (produced by weights/convert_decomp.py /
+weights/convert.py), builds the callables that
+decomp.pipeline.VideoProcessor consumes. Any missing bundle leaves its
+stage disabled (graceful degradation, matching the reference's optional
+occ stage — run_edit.py:136-137).
+
+Expected files in `weights_dir` (all optional):
+  sam.npz        — SAM ViT-H (first-frame segmentation + auto-masks)
+  sam2.npz       — video tracker
+  vitpose.npz    — wholebody 2D pose
+  depth.npz      — DepthAnythingV2
+  hmr.npz        — HMR2 body regression
+  hamer.npz      — HaMeR hand regression
+  smpl.npz/.pkl  — SMPL-H model arrays
+  raft.npz, propainter.npz — background inpainting
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from mimo_tpu.decomp import depth_anything as DA
+from mimo_tpu.decomp import hmr as HMR
+from mimo_tpu.decomp import motion as MO
+from mimo_tpu.decomp import pipeline as DP
+from mimo_tpu.decomp import propainter as PP
+from mimo_tpu.decomp import raft as RAFT
+from mimo_tpu.decomp import sam as SAM
+from mimo_tpu.decomp import sam2 as SAM2
+from mimo_tpu.decomp import smpl as SM
+from mimo_tpu.decomp import vitpose as VP
+from mimo_tpu.decomp.occlusion import sample_mask_points
+from mimo_tpu.weights.convert import load_npz
+
+
+def _maybe(path: str):
+    return load_npz(path) if os.path.exists(path) else None
+
+
+def build_decomp_models(weights_dir: str,
+                        dtype=jnp.bfloat16) -> DP.DecompModels:
+    models = DP.DecompModels()
+
+    sam_params = _maybe(os.path.join(weights_dir, "sam.npz"))
+    if sam_params is not None:
+        sam_cfg = SAM.SAMConfig()
+        predictor = SAM.SamPredictor(sam_params, sam_cfg)
+
+        def segment_box(frame, bbox):
+            predictor.set_image(frame)
+            masks, iou = predictor.predict(box=bbox)
+            return masks[int(np.argmax(iou))]
+
+        models.segment_box = segment_box
+        models.automask = lambda frame: SAM.automatic_masks(
+            predictor, frame, points_per_side=32)
+
+    sam2_params = _maybe(os.path.join(weights_dir, "sam2.npz"))
+    if sam2_params is not None:
+        s2cfg = SAM2.SAM2Config()
+
+        def track(frames, seed_mask, seed_frame):
+            pts = sample_mask_points(seed_mask, n=5)
+            return SAM2.track_object(sam2_params, s2cfg, frames, pts,
+                                     np.ones(len(pts), np.int32),
+                                     prompt_frame=seed_frame)
+
+        models.track_video = track
+
+    vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"))
+    vp_cfg = VP.ViTPoseConfig()
+    if vp_params is not None:
+        import jax
+
+        hm_fn = jax.jit(lambda c: VP.heatmaps(vp_params, vp_cfg, c))
+
+        def estimate_pose(frame, bbox):
+            crop, cs = HMR.square_crop(frame, bbox,
+                                       out_size=vp_cfg.backbone.img_size)
+            hm = hm_fn(jnp.asarray(crop[None], dtype))
+            half = cs[2] / 2
+            box = np.array([[cs[0] - half, cs[1] - half, cs[2], cs[2]]])
+            return VP.decode_keypoints(np.asarray(hm, np.float32), box)[0]
+
+        models.estimate_pose = estimate_pose
+
+        if models.automask is not None:
+            from mimo_tpu.decomp.detector import PoseScoredDetector
+            models.detect_person = PoseScoredDetector(
+                automask=models.automask, estimate_pose=estimate_pose)
+
+    depth_params = _maybe(os.path.join(weights_dir, "depth.npz"))
+    if depth_params is not None:
+        dcfg = DA.DepthAnythingConfig()
+        models.depth = lambda frame: np.asarray(DA.infer_depth(
+            depth_params, dcfg, jnp.asarray(frame, jnp.float32) / 255.0))
+
+    hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"))
+    smpl_path = next((p for p in (
+        os.path.join(weights_dir, "smpl.npz"),
+        os.path.join(weights_dir, "smpl.pkl")) if os.path.exists(p)), None)
+    if hmr_params is not None and smpl_path is not None:
+        smpl_model = (SM.load_smpl_npz(smpl_path)
+                      if smpl_path.endswith(".npz")
+                      else SM.load_smpl_pickle(smpl_path))
+        sdc_path = os.path.join(weights_dir, "sdc_info.npy")
+        sdc_colors = np.load(sdc_path) if os.path.exists(sdc_path) else None
+        est = MO.MotionEstimator(
+            vitpose_params=vp_params, vitpose_cfg=vp_cfg,
+            hmr_params=hmr_params, hmr_cfg=HMR.HMRConfig(),
+            hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz")),
+            hamer_cfg=HMR.hamer_config(),
+            smpl_model=smpl_model, sdc_colors=sdc_colors)
+        models.estimate_motion = est.estimate_motion
+
+    raft_params = _maybe(os.path.join(weights_dir, "raft.npz"))
+    pp_params = _maybe(os.path.join(weights_dir, "propainter.npz"))
+    if raft_params is not None and pp_params is not None:
+        pcfg = PP.ProPainterConfig()
+        rcfg = RAFT.RAFTConfig()
+
+        def inpaint(frames01, masks):
+            return PP.inpaint_video(pp_params, pcfg, raft_params, rcfg,
+                                    jnp.asarray(frames01, dtype),
+                                    jnp.asarray(masks, dtype))
+
+        models.inpaint = inpaint
+
+    return models
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="MIMO-TPU template extraction (video_decomp/run.py role)")
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--weights-dir", required=True)
+    ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument("--max-frames", type=int, default=150)
+    args = ap.parse_args()
+
+    models = build_decomp_models(args.weights_dir)
+    cfg = DP.DecompConfig(target_fps=args.fps, max_frames=args.max_frames)
+    vp = DP.VideoProcessor(models, cfg)
+    result = vp.run(args.video, args.output)
+    code = result["code"]
+    msgs = {
+        DP.CODE_OK: "ok",
+        DP.CODE_NO_PERSON: "no person detected",
+        DP.CODE_PERSON_TOO_SMALL: "person too small",
+        DP.CODE_HALF_BODY: "person not fully visible",
+    }
+    print(f"decomposition: {msgs.get(code, code)} -> {args.output}")
+    if code != DP.CODE_OK:
+        raise SystemExit(code)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,10 @@ def test_pick_block():
     assert A._pick_block(12544) == 896
     assert A._pick_block(128) == 128
     assert A._pick_block(2048) == 1024
+    # query blocks stay small (measured 10x difference, see attention.py)
+    assert A._pick_block_q(6272) == 224
+    assert A._pick_block_q(12544) == 256
+    assert A._pick_block_k(12544) == 896
 
 
 def test_dispatch_small_matches_manual():
