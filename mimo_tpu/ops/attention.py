@@ -55,7 +55,15 @@ def _pick_block(seq: int, cap: int = 1024) -> int:
 
 
 def _pick_block_q(seq: int) -> int:
-    return _pick_block(seq, cap=256)
+    """Largest divisor of seq that is a multiple of 8 (sublane granularity —
+    query blocks, unlike key blocks, need not be 128-multiples) and <= 256."""
+    best = 8
+    b = 8
+    while b <= 256:
+        if seq % b == 0:
+            best = b
+        b += 8
+    return best
 
 
 def _pick_block_k(seq: int) -> int:
