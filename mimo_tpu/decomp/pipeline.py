@@ -144,16 +144,40 @@ class VideoProcessor:
 
     def get_bk_recover(self, frames: Sequence[np.ndarray],
                        masks: np.ndarray, dilate: int = 4):
-        """ProPainter background inpaint with mask dilation
-        (run.py:841-877, mask_dilation=4)."""
+        """ProPainter background inpaint with mask dilation and OOM-backoff
+        retry at 0.75x resolution steps (run.py:841-877 — mask_dilation=4,
+        the while/try resize loop at :852-861)."""
         if self.models.inpaint is None:
             return None
         import cv2
         k = np.ones((dilate * 2 + 1, dilate * 2 + 1), np.uint8)
         dil = np.stack([cv2.dilate(m.astype(np.uint8), k) for m in masks])
-        frames01 = np.stack(frames).astype(np.float32) / 255.0
-        out = self.models.inpaint(frames01, dil[..., None].astype(np.float32))
-        return (np.clip(np.asarray(out), 0, 1) * 255).astype(np.uint8)
+        frames_np = np.stack(frames)
+        H, W = frames_np.shape[1:3]
+
+        ratio = 1.0
+        while True:
+            try:
+                h = max(16, int(H * ratio) // 8 * 8)
+                w = max(16, int(W * ratio) // 8 * 8)
+                fr = np.stack([cv2.resize(f, (w, h)) for f in frames_np])
+                mr = np.stack([cv2.resize(m, (w, h),
+                                          interpolation=cv2.INTER_NEAREST)
+                               for m in dil])
+                out = self.models.inpaint(
+                    fr.astype(np.float32) / 255.0,
+                    mr[..., None].astype(np.float32))
+                out = np.asarray(out)
+                break
+            except Exception as e:
+                if ("RESOURCE_EXHAUSTED" not in str(e)
+                        and "out of memory" not in str(e).lower()) \
+                        or ratio < 0.3:
+                    raise
+                ratio *= 0.75  # reference backoff factor
+        if out.shape[1:3] != (H, W):
+            out = np.stack([cv2.resize(f, (W, H)) for f in out])
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 
     # -- stage 5: occlusion -------------------------------------------------
 

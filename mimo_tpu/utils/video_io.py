@@ -100,6 +100,49 @@ def save_video(frames, path: str, fps: float = 30.0) -> None:
         writer.release()
 
 
+class VideoReader:
+    """Random-access clip sampler (tools/video_reader.py:29-155 role):
+    seek-based frame access and uniform clip sampling without decoding the
+    whole file."""
+
+    def __init__(self, path: str):
+        _require_cv2()
+        self.path = path
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(path)
+        self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def get_frame(self, idx: int) -> np.ndarray:
+        self._cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+        ok, frame = self._cap.read()
+        if not ok:
+            raise IndexError(f"frame {idx} of {self.num_frames}")
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+    def sample_clip(self, n: int, start: int = 0,
+                    end: int | None = None) -> List[np.ndarray]:
+        """n frames uniformly spread over [start, end)."""
+        end = self.num_frames if end is None else min(end, self.num_frames)
+        idx = np.linspace(start, max(start, end - 1), n).astype(int)
+        return [self.get_frame(int(i)) for i in idx]
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def load_image(path: str) -> np.ndarray:
     _require_cv2()
     img = cv2.imread(path, cv2.IMREAD_COLOR)
