@@ -247,42 +247,55 @@ def _temporal_pe(f: int, dim: int, dtype) -> jnp.ndarray:
     return pe.astype(dtype)
 
 
+def _temporal_attn(p_attn: Params, x_norm: jnp.ndarray, frames: int,
+                   heads: int) -> jnp.ndarray:
+    """Temporal self-attention computed IN the (B, F, S, C) layout.
+
+    The naive formulation transposes to (B*S, F, C) and back — two full
+    passes over ~1 GB at the top UNet level, pure HBM bandwidth. Instead
+    the frame-axis contraction happens inside einsums; F is tiny (≤32) so
+    the logits tensor (B, S, H, F, F) stays small.
+    x_norm: (B, F, S, C) pre-normed (+PE already added). Returns same shape.
+    """
+    b, f, s, c = x_norm.shape
+    d = c // heads
+    q = L.linear(p_attn["to_q"], x_norm).reshape(b, f, s, heads, d)
+    k = L.linear(p_attn["to_k"], x_norm).reshape(b, f, s, heads, d)
+    v = L.linear(p_attn["to_v"], x_norm).reshape(b, f, s, heads, d)
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(x_norm.dtype)
+    o = jnp.einsum("bshfg,bgshd->bfshd", w, v)
+    o = o.reshape(b, f, s, c)
+    return L.linear(p_attn["to_out"], o)
+
+
 def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
                         mcfg: MotionModuleConfig) -> jnp.ndarray:
     """x: (B*F, H, W, C) -> same. Temporal self-attention over the frame axis
-    at every spatial location."""
+    at every spatial location (reference motion_module.py:146-184,361-374).
+    Frames stay the second axis throughout — no (B*S, F, C) transpose."""
     n, hgt, wid, c = x.shape
     b = n // frames
     residual = x
     h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6)
-    tokens = h.reshape(n, hgt * wid, c)
+    tokens = h.reshape(b, frames, hgt * wid, c)
     tokens = L.linear(p["proj_in"], tokens)
 
-    # (B*F, S, C) -> (B*S, F, C)
-    def to_temporal(t):
-        t = t.reshape(b, frames, hgt * wid, c)
-        t = jnp.transpose(t, (0, 2, 1, 3))
-        return t.reshape(b * hgt * wid, frames, c)
-
-    def from_temporal(t):
-        t = t.reshape(b, hgt * wid, frames, c)
-        t = jnp.transpose(t, (0, 2, 1, 3))
-        return t.reshape(n, hgt * wid, c)
-
-    tokens = to_temporal(tokens)
-    pe = _temporal_pe(frames, c, tokens.dtype)
+    pe = _temporal_pe(frames, c, tokens.dtype)[None, :, None, :]
 
     for blk in p["blocks"]:
         for a in blk["attns"]:
             normed = L.layer_norm(a["norm"], tokens)
             # PE is added to the *normed* states before qkv
             # (reference motion_module.py:361-368)
-            normed = normed + pe[None]
-            tokens = tokens + L.mha(a["attn"], normed, None, mcfg.num_heads)
+            normed = normed + pe
+            tokens = tokens + _temporal_attn(a["attn"], normed, frames,
+                                             mcfg.num_heads)
         ff_in = L.layer_norm(blk["ff_norm"], tokens)
         tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
 
-    tokens = from_temporal(tokens)
     tokens = L.linear(p["proj_out"], tokens)
     return tokens.reshape(n, hgt, wid, c) + residual
 
