@@ -152,6 +152,46 @@ def convert_sam(state_dict: Mapping[str, Any], cfg: SAMConfig
     }
 
 
+def convert_dinov2(state_dict: Mapping[str, Any], depth: int,
+                   prefix: str = "pretrained") -> Dict[str, Any]:
+    """DINOv2 encoder (DepthAnythingV2 'pretrained.*' keys) → decomp.vit
+    tree: cls token, LayerScale (ls1/ls2.gamma), packed qkv."""
+    sd = _SD(state_dict)
+    blocks = []
+    for i in range(depth):
+        bp = f"{prefix}.blocks.{i}"
+        blocks.append({
+            "ln1": _norm(sd, f"{bp}.norm1"),
+            "qkv": _linear(sd, f"{bp}.attn.qkv"),
+            "proj": _linear(sd, f"{bp}.attn.proj"),
+            "ln2": _norm(sd, f"{bp}.norm2"),
+            "fc1": _linear(sd, f"{bp}.mlp.fc1"),
+            "fc2": _linear(sd, f"{bp}.mlp.fc2"),
+            "ls1": sd.get(f"{bp}.ls1.gamma"),
+            "ls2": sd.get(f"{bp}.ls2.gamma"),
+        })
+    pos = _np(sd.get(f"{prefix}.pos_embed"))[0]  # (1+S, D) incl cls
+    return {
+        "patch_embed": _conv(sd, f"{prefix}.patch_embed.proj"),
+        "cls_token": _np(sd.get(f"{prefix}.cls_token"))[0, 0],
+        "pos_embed": pos,
+        "blocks": blocks,
+        "ln_out": _norm(sd, f"{prefix}.norm"),
+    }
+
+
+def load_smpl_mean_params(path: str) -> Dict[str, np.ndarray]:
+    """Published smpl_mean_params.npz (HMR lineage): init pose (24x6D),
+    shape (10), cam (3) for the IEF heads (hmr2 SMPLTransformerDecoderHead
+    registers these as buffers)."""
+    with np.load(path, allow_pickle=True) as f:
+        return {
+            "mean_pose": np.asarray(f["pose"], np.float32).reshape(-1),
+            "mean_betas": np.asarray(f["shape"], np.float32).reshape(-1),
+            "mean_cam": np.asarray(f["cam"], np.float32).reshape(-1),
+        }
+
+
 def convert_vitpose(state_dict: Mapping[str, Any], cfg: ViTPoseConfig
                     ) -> Dict[str, Any]:
     """mmpose TopDown checkpoint: backbone.* (ViT) + keypoint_head.*."""
