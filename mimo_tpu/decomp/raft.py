@@ -79,7 +79,7 @@ def _resunit_init(key, c_in, c_out, stride):
 
 
 def _resunit(p, x):
-    s = p["stride"]
+    s = int(p["stride"])  # plain int; npz roundtrips store it as an array
     h = jax.nn.relu(_inorm(p["n1"], L.conv2d(p["conv1"], x, stride=s,
                                              padding=1)))
     h = jax.nn.relu(_inorm(p["n2"], L.conv2d(p["conv2"], h, padding=1)))
