@@ -101,12 +101,19 @@ def group_norm_init(channels: int, dtype=jnp.float32) -> Params:
 
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int,
-               eps: float = 1e-5) -> jnp.ndarray:
+               eps: float = 1e-5, barrier: bool = True) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis of an (..., C) tensor.
 
     Statistics are computed per (leading batch axis, group) over all other
     axes, in fp32 — matches torch.nn.GroupNorm on (N, C, *spatial) with our
     channels-last layout.
+
+    `barrier` (default on): materialize the output before the consumer.
+    Measured on v5e: letting XLA fuse GN statistics into a following conv
+    is catastrophic — GN+SiLU+conv3x3 at the UNet's top level runs 177 ms
+    fused vs 8.6 ms with the barrier (the conv alone is 18 ms). Set
+    barrier=False when the consumer is a matmul (LN+matmul fuses WELL and
+    a barrier there costs 40x).
     """
     orig_dtype = x.dtype
     n = x.shape[0]
@@ -117,7 +124,10 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     y = xg.reshape(x.shape)
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+    y = y.astype(orig_dtype)
+    if barrier:
+        y = jax.lax.optimization_barrier(y)
+    return y
 
 
 def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:

@@ -279,7 +279,8 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
     n, hgt, wid, c = x.shape
     b = n // frames
     residual = x
-    h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6)
+    h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6,
+                     barrier=False)  # feeds a matmul (proj_in)
     tokens = h.reshape(b, frames, hgt * wid, c)
     tokens = L.linear(p["proj_in"], tokens)
 

@@ -49,7 +49,8 @@ def _attn_apply(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
     """Single-head full self-attention over spatial tokens (VAE mid-block)."""
     n, h, w, c = x.shape
     res = x
-    y = L.group_norm(p["norm"], x, groups, _EPS)
+    y = L.group_norm(p["norm"], x, groups, _EPS,
+                     barrier=False)  # feeds matmuls (qkv projections)
     t = y.reshape(n, h * w, c)
     q = L.linear(p["to_q"], t)
     k = L.linear(p["to_k"], t)
