@@ -69,8 +69,11 @@ def main():
     clip_px = jax.random.normal(ki[3], (224, 224, 3)).astype(dtype)
     noise = jax.random.normal(ki[4], (F, H // ds, W // ds, 4)).astype(dtype)
 
-    fn = jax.jit(lambda p, a, b, c, d, e: pose2vid.generate_fn(
-        p, st, a, b, c, d, e))
+    cache = {}
+
+    def run():
+        return pose2vid.generate_host_loop(params, st, ref, pose, bk,
+                                           clip_px, noise, jit_cache=cache)
 
     def sync(x):
         # block_until_ready does not reliably block under the axon tunnel;
@@ -78,10 +81,10 @@ def main():
         return float(jnp.sum(x.astype(jnp.float32)))
 
     # compile + warmup
-    sync(fn(params, ref, pose, bk, clip_px, noise))
+    sync(run())
 
     t0 = time.perf_counter()
-    sync(fn(params, ref, pose, bk, clip_px, noise))
+    sync(run())
     dt = time.perf_counter() - t0
 
     fps = F / dt

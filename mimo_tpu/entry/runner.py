@@ -90,9 +90,13 @@ class Runner:
 
     def _get_fn(self, st: pose2vid.Pose2VideoStatic):
         if st not in self._cache:
-            self._cache[st] = jax.jit(
-                lambda p, a, b, c, d, e: pose2vid.generate_fn(
-                    p, st, a, b, c, d, e))
+            jit_cache: Dict[str, Any] = {}
+
+            def fn(p, a, b, c, d, e):
+                return pose2vid.generate_host_loop(p, st, a, b, c, d, e,
+                                                   jit_cache=jit_cache)
+
+            self._cache[st] = fn
         return self._cache[st]
 
     def generate(self, ref_image: np.ndarray, pose_frames: List[np.ndarray],

@@ -251,6 +251,112 @@ def denoise(
     return final
 
 
+def denoise_one_step(params: Params, st: Pose2VideoStatic, ddim: DDIM,
+                     cond: Dict[str, jnp.ndarray], latents: jnp.ndarray,
+                     step_idx: jnp.ndarray, windows: np.ndarray,
+                     window_weights: np.ndarray) -> jnp.ndarray:
+    """Single DDIM step (jit this and drive the loop from Python).
+
+    Why not lax.scan over steps: on v5e, XLA fails to hoist weight layout
+    conversions out of the while-loop body — profiling showed ~35 s of
+    per-iteration weight copies (tens of thousands of small DMAs per step)
+    in the 30-step scanned program. A Python loop over one jitted step pays
+    ~35 ms dispatch per step instead and keeps weights resident.
+    """
+    cfg = st.cfg
+    g = st.guidance_scale
+    do_cfg = st.do_cfg
+    F = st.num_frames
+    Wn, cs = windows.shape
+    win = jnp.asarray(windows)
+    wts = jnp.asarray(window_weights)
+    counter = jnp.zeros((F,), jnp.float32).at[win.reshape(-1)].add(
+        jnp.repeat(wts, cs))
+    counter = jnp.maximum(counter, 1e-6)[:, None, None, None]
+
+    chunk = st.window_chunk or Wn
+    n_chunks = Wn // chunk
+    t = jnp.asarray(ddim.timesteps)[step_idx].astype(jnp.float32)
+
+    def run_chunk(w_idx):
+        lat_w = latents[w_idx]
+        bk_w = cond["bk_latents"][w_idx]
+        pose_w = cond["pose_fea"][w_idx]
+        if do_cfg:
+            x = jnp.concatenate([lat_w, lat_w], axis=0)
+            bkx = jnp.concatenate([bk_w, bk_w], axis=0)
+            posex = jnp.concatenate([pose_w, pose_w], axis=0)
+            ctx = jnp.concatenate([
+                jnp.broadcast_to(cond["ctx_uncond"],
+                                 (chunk,) + cond["ctx_uncond"].shape[1:]),
+                jnp.broadcast_to(cond["ctx_cond"],
+                                 (chunk,) + cond["ctx_cond"].shape[1:])],
+                axis=0)
+        else:
+            x, bkx, posex = lat_w, bk_w, pose_w
+            ctx = jnp.broadcast_to(cond["ctx_cond"],
+                                   (chunk,) + cond["ctx_cond"].shape[1:])
+        x = jnp.concatenate([x, bkx], axis=-1)
+        if st.mesh_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            spec = P(st.mesh_axis)
+            x = jax.lax.with_sharding_constraint(x, spec)
+            posex = jax.lax.with_sharding_constraint(posex, spec)
+            ctx = jax.lax.with_sharding_constraint(ctx, spec)
+        return U.unet3d_apply(params["denoising_unet"], cfg.denoising_unet,
+                              x, t, ctx, posex, cond["cond_banks"],
+                              cfg_split=do_cfg)
+
+    nsum_u = jnp.zeros(latents.shape, jnp.float32)
+    nsum_c = jnp.zeros(latents.shape, jnp.float32)
+    for ci in range(n_chunks):
+        w_idx = win[ci * chunk:(ci + 1) * chunk]
+        w_wt = wts[ci * chunk:(ci + 1) * chunk]
+        pred = run_chunk(w_idx).astype(jnp.float32)
+        wt = w_wt[:, None, None, None, None]
+        flat_idx = w_idx.reshape(-1)
+        if do_cfg:
+            pu, pc = pred[:chunk] * wt, pred[chunk:] * wt
+            nsum_u = nsum_u.at[flat_idx].add(pu.reshape(-1, *pu.shape[2:]))
+            nsum_c = nsum_c.at[flat_idx].add(pc.reshape(-1, *pc.shape[2:]))
+        else:
+            pred = pred * wt
+            nsum_c = nsum_c.at[flat_idx].add(
+                pred.reshape(-1, *pred.shape[2:]))
+
+    if do_cfg:
+        v_u = nsum_u / counter
+        v_c = nsum_c / counter
+        v = v_u + g * (v_c - v_u)
+    else:
+        v = nsum_c / counter
+    return ddim.step_v(v, step_idx, latents)
+
+
+def generate_host_loop(params: Params, st: Pose2VideoStatic,
+                       ref_image, pose_video, bk_video, clip_pixels,
+                       noise, jit_cache: Optional[dict] = None):
+    """Python-driven generation: jitted prepare / step / decode, with the
+    step loop on the host (see denoise_one_step docstring for why)."""
+    ddim = DDIM.create(st.cfg.pipeline.scheduler, st.num_inference_steps)
+    windows, wweights = make_windows(st)
+    cache = jit_cache if jit_cache is not None else {}
+    if "prepare" not in cache:
+        cache["prepare"] = jax.jit(lambda p, a, b, c, d: prepare_conditioning(
+            p, st, a, b, c, d))
+        cache["step"] = jax.jit(lambda p, cond, lat, i: denoise_one_step(
+            p, st, ddim, cond, lat, i, windows, wweights))
+        cache["decode"] = jax.jit(lambda p, z: jnp.clip(
+            chunked_apply(lambda zz: V.decode(p["vae"], st.cfg.vae, zz), z,
+                          st.vae_chunk) * 0.5 + 0.5, 0.0, 1.0))
+    cond = cache["prepare"](params, ref_image, pose_video, bk_video,
+                            clip_pixels)
+    latents = noise * ddim.init_noise_sigma
+    for i in range(ddim.num_steps):
+        latents = cache["step"](params, cond, latents, jnp.asarray(i))
+    return cache["decode"](params, latents)
+
+
 def generate_fn(params: Params, st: Pose2VideoStatic,
                 ref_image: jnp.ndarray, pose_video: jnp.ndarray,
                 bk_video: jnp.ndarray, clip_pixels: jnp.ndarray,

@@ -71,6 +71,21 @@ def test_window_chunking_equivalent():
     np.testing.assert_allclose(v_all, v_chunk, atol=2e-5)
 
 
+def test_host_loop_matches_scan_generate():
+    """generate_host_loop (python step loop) must match the scanned
+    generate_fn exactly."""
+    cfg = C.tiny_mimo_config()
+    F, H, W = 6, 32, 32
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5)
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+    a = np.asarray(pose2vid.generate_fn(params, st, *inputs))
+    b = np.asarray(pose2vid.generate_host_loop(params, st, *inputs))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_no_cfg_path():
     cfg = C.tiny_mimo_config()
     F, H, W = 4, 32, 32
