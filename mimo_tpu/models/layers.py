@@ -115,17 +115,29 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     barrier=False when the consumer is a matmul (LN+matmul fuses WELL and
     a barrier there costs 40x).
     """
+    import os
+    mode = os.environ.get("MIMO_GN_MODE", "fp32")
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
-    xg = x.astype(jnp.float32).reshape(n, -1, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = xg.reshape(x.shape)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    y = y.astype(orig_dtype)
-    if barrier:
+    xg = x.reshape(n, -1, groups, c // groups)
+    xf = xg.astype(jnp.float32)
+    # two-pass stats as reductions only (XLA convert_reduce fusions) — the
+    # fp32 upcast is never materialized as a full tensor
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) \
+        - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    if mode == "bf16":
+        y = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+        y = y.reshape(x.shape)
+        y = y * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
+    else:
+        y = (xf - mean) * inv
+        y = y.reshape(x.shape)
+        y = (y * p["scale"].astype(jnp.float32)
+             + p["bias"].astype(jnp.float32)).astype(orig_dtype)
+    if barrier and os.environ.get("MIMO_GN_BARRIER", "1") == "1":
         y = jax.lax.optimization_barrier(y)
     return y
 
