@@ -59,7 +59,7 @@ def main():
 
     st = pose2vid.Pose2VideoStatic(
         cfg=cfg, num_frames=F, height=H, width=W,
-        num_inference_steps=steps, guidance_scale=3.5)
+        num_inference_steps=steps, guidance_scale=3.5, vae_chunk=8)
 
     ki = jax.random.split(jax.random.PRNGKey(1), 5)
     ds = cfg.vae.downscale

