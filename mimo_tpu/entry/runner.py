@@ -115,7 +115,8 @@ class Runner:
         bk = np.stack([FU.resize_frame(f, width, height)
                        for f in bk_frames]).astype(np.float32) / 255.0
         bk = bk * 2.0 - 1.0
-        clip_in = FU.resize_frame(ref_image, 224, 224).astype(np.float32) / 255.0
+        cs = self.cfg.clip_vision.image_size
+        clip_in = FU.resize_frame(ref_image, cs, cs).astype(np.float32) / 255.0
         clip_px = np.asarray(CV.clip_preprocess(jnp.asarray(clip_in)))
 
         ds = self.cfg.vae.downscale
