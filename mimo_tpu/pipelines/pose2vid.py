@@ -388,7 +388,10 @@ def generate_host_loop(params: Params, st: Pose2VideoStatic,
                             clip_pixels)
     latents = noise * ddim.init_noise_sigma
 
-    use_auto = jax.default_backend() == "tpu" and st.mesh_axis is None
+    # AUTO-layout stepping measured no gain over plain jit on v5e (the
+    # per-step weight copies overlap compute) and its executable rejects
+    # device_put-relaid inputs on some leaves; disabled pending a fix.
+    use_auto = False
     if use_auto:
         if "step_auto" not in cache:
             cache["step_auto"] = _AutoLayoutStep(
