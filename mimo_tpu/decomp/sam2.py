@@ -49,6 +49,8 @@ class SAM2Config:
         img_size=(512, 512), patch_size=16, dim=768, depth=12, num_heads=12,
         window_size=14, global_blocks=(5, 11), use_rel_pos=True,
         ln_eps=1e-6))
+    backbone: str = "vit"          # "vit" | "hiera" (SAM2's real backbone)
+    hiera: Optional[Any] = None    # HieraConfig when backbone == "hiera"
     dim: int = 256                 # feature/prompt dim
     mem_dim: int = 64              # memory feature dim
     num_mem: int = 7               # rolling memory slots (recent frames)
@@ -84,7 +86,12 @@ def sam2_init(key, cfg: SAM2Config) -> Params:
             "ln3": L.layer_norm_init(d),
             "ff": L.geglu_ff_init(next(keys), d),
         })
+    p_extra: Params = {}
+    if cfg.backbone == "hiera":
+        from mimo_tpu.decomp.hiera import hiera_init
+        p_extra["hiera"] = hiera_init(next(keys), cfg.hiera)
     return {
+        **p_extra,
         "sam": s1,
         "sam_cfg": s1cfg,
         "mem_attn": mem_layers,
@@ -112,6 +119,9 @@ def encode_frames(p: Params, cfg: SAM2Config,
                   frames: jnp.ndarray) -> jnp.ndarray:
     """frames: (T, S, S, 3) normalized -> (T, g, g, dim). One batched call
     (vs the reference's per-frame lazy encode)."""
+    if cfg.backbone == "hiera":
+        from mimo_tpu.decomp.hiera import encode_image_hiera
+        return encode_image_hiera(p["hiera"], cfg.hiera, frames)
     return S1.encode_image(p["sam"], p["sam_cfg"], frames)
 
 
@@ -191,11 +201,16 @@ class SAM2VideoPredictor:
         self._orig = None
         self._cond: Optional[Tuple[int, jnp.ndarray]] = None
 
+    def _input_size(self) -> int:
+        if self.cfg.backbone == "hiera":
+            return self.cfg.hiera.input_size[0]
+        return self.cfg.encoder.img_size[0]
+
     def init_state(self, frames: List[np.ndarray]) -> None:
         """frames: list of (H, W, 3) uint8 RGB (in-memory, matching the
         reference's local modification)."""
         import cv2
-        S = self.cfg.encoder.img_size[0]
+        S = self._input_size()
         self._orig = frames[0].shape[:2]
         batch = np.stack([
             (cv2.resize(f, (S, S)).astype(np.float32) - S1.SAM_MEAN)
@@ -208,7 +223,6 @@ class SAM2VideoPredictor:
         """Prompt one frame; returns its mask at original resolution and
         stores the conditioning memory."""
         h, w = self._orig
-        S = self.cfg.encoder.img_size[0]
         pts01 = np.asarray(points, np.float32) / [w, h]
         sparse = S1.encode_points(self.p["sam"],
                                   jnp.asarray(pts01[None]),

@@ -72,3 +72,20 @@ def test_square_crop_and_cam_lift():
     t = HM.cam_crop_to_full(cam, cs, img_w=80, img_h=100, focal=500.0)
     assert t.shape == (3,)
     assert t[2] > 0  # positive depth
+
+
+def test_sam2_with_hiera_backbone():
+    from mimo_tpu.decomp import hiera as HI
+    cfg = S2.SAM2Config(
+        backbone="hiera", hiera=HI.tiny_hiera_config(),
+        dim=32, mem_dim=16, num_mem=2, mem_layers=1, mem_heads=4)
+    p = S2.sam2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+              for _ in range(3)]
+    pred = S2.SAM2VideoPredictor(p, cfg)
+    pred.init_state(frames)
+    m0 = pred.add_new_points(0, np.array([[32.0, 24.0]]), np.array([1]))
+    assert m0.shape == (48, 64)
+    masks = pred.propagate_in_video()
+    assert masks.shape == (3, 48, 64)
