@@ -22,9 +22,11 @@ TPU-native restructuring:
   (sam2/csrc/connected_components.cu) is ops/connected_components
   (host/scipy or native C++).
 
-Round-1 backbone note: the image encoder here is our windowed ViT rather
-than a full Hiera; the memory machinery, decoder, and state machine follow
-the reference design. Hiera-exact backbone lands with weight conversion.
+Backbones: `backbone="hiera"` uses the SAM2-architecture Hiera encoder
+(decomp/hiera.py — multi-scale attention, query pooling, FPN neck);
+`backbone="vit"` is a lighter windowed-ViT alternative. Hiera weight
+conversion from the published sam2.1 checkpoints is the remaining parity
+step.
 """
 
 from __future__ import annotations

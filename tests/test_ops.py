@@ -18,7 +18,7 @@ def test_pick_block():
     # query blocks stay small (measured 10x difference, see attention.py)
     assert A._pick_block_q(6272) == 224
     assert A._pick_block_q(12544) == 256
-    assert A._pick_block_k(12544) == 896
+    assert A._pick_block_k(12544) == 1792  # cap raised after measurement
 
 
 def test_dispatch_small_matches_manual():
