@@ -229,3 +229,78 @@ def convert_vitpose(state_dict: Mapping[str, Any], cfg: ViTPoseConfig
         "deconvs": deconvs,
         "final": _conv(sd, "keypoint_head.final_layer"),
     }
+
+
+# ---------------------------------------------------------------------------
+# RAFT (raft-things.pth lineage; keys may carry a DataParallel "module." prefix)
+# ---------------------------------------------------------------------------
+
+
+def convert_raft(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Published RAFT checkpoint -> decomp.raft tree.
+
+    Layer map (ProPainter/RAFT naming): fnet/cnet are BasicEncoders
+    (conv1+norm1 stem, layer{1,2,3}.{0,1} residual blocks with optional
+    downsample, conv2 head); update_block = BasicMotionEncoder (convc1/
+    convc2/convf1/convf2/conv) + SepConvGRU (convz1/r1/q1 horizontal,
+    convz2/r2/q2 vertical) + FlowHead (conv1/conv2) + mask head
+    (mask.0/mask.2). Instance norms are affine=False -> identity params.
+    """
+    sd = _SD({k[len("module."):] if k.startswith("module.") else k: v
+              for k, v in state_dict.items()})
+
+    def inorm(c):
+        return {"scale": np.ones((c,), np.float32),
+                "bias": np.zeros((c,), np.float32)}
+
+    def resunit(prefix, c_out, stride):
+        p = {
+            "conv1": _conv(sd, f"{prefix}.conv1"),
+            "n1": inorm(c_out),
+            "conv2": _conv(sd, f"{prefix}.conv2"),
+            "n2": inorm(c_out),
+            "stride": stride,
+        }
+        if sd.has(f"{prefix}.downsample.0.weight"):
+            p["down"] = _conv(sd, f"{prefix}.downsample.0")
+            p["dn"] = inorm(c_out)
+        return p
+
+    def encoder(prefix, out_dim):
+        d1, d2, d3 = cfg.enc_dims
+        return {
+            "stem": _conv(sd, f"{prefix}.conv1"),
+            "stem_n": inorm(d1),
+            "layer1": [resunit(f"{prefix}.layer1.0", d1, 1),
+                       resunit(f"{prefix}.layer1.1", d1, 1)],
+            "layer2": [resunit(f"{prefix}.layer2.0", d2, 2),
+                       resunit(f"{prefix}.layer2.1", d2, 1)],
+            "layer3": [resunit(f"{prefix}.layer3.0", d3, 2),
+                       resunit(f"{prefix}.layer3.1", d3, 1)],
+            "head": _conv(sd, f"{prefix}.conv2"),
+        }
+
+    ub = "update_block"
+    return {
+        "fnet": encoder("fnet", cfg.fmap_dim),
+        "cnet": encoder("cnet", cfg.hidden_dim + cfg.context_dim),
+        "update": {
+            "mc1": _conv(sd, f"{ub}.encoder.convc1"),
+            "mc2": _conv(sd, f"{ub}.encoder.convc2"),
+            "mf1": _conv(sd, f"{ub}.encoder.convf1"),
+            "mf2": _conv(sd, f"{ub}.encoder.convf2"),
+            "mout": _conv(sd, f"{ub}.encoder.conv"),
+            "gru": {
+                "z1": _conv(sd, f"{ub}.gru.convz1"),
+                "r1": _conv(sd, f"{ub}.gru.convr1"),
+                "q1": _conv(sd, f"{ub}.gru.convq1"),
+                "z2": _conv(sd, f"{ub}.gru.convz2"),
+                "r2": _conv(sd, f"{ub}.gru.convr2"),
+                "q2": _conv(sd, f"{ub}.gru.convq2"),
+            },
+            "fh1": _conv(sd, f"{ub}.flow_head.conv1"),
+            "fh2": _conv(sd, f"{ub}.flow_head.conv2"),
+            "up1": _conv(sd, f"{ub}.mask.0"),
+            "up2": _conv(sd, f"{ub}.mask.2"),
+        },
+    }

@@ -150,3 +150,59 @@ def test_deconv_transform_matches_torch():
         jnp.asarray(x), jnp.asarray(k), (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_raft_converter_roundtrip():
+    from mimo_tpu.decomp import raft as R
+    cfg = R.tiny_raft_config()
+    params = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+        R.raft_init(jax.random.PRNGKey(0), cfg))
+    sd = {}
+
+    def emit_enc(prefix, enc):
+        _emit_conv(sd, f"module.{prefix}.conv1", enc["stem"])
+        for li, layer in enumerate(("layer1", "layer2", "layer3"), 1):
+            for bi, blk in enumerate(enc[layer]):
+                bp = f"module.{prefix}.{layer}.{bi}"
+                _emit_conv(sd, f"{bp}.conv1", blk["conv1"])
+                _emit_conv(sd, f"{bp}.conv2", blk["conv2"])
+                if "down" in blk:
+                    _emit_conv(sd, f"{bp}.downsample.0", blk["down"])
+        _emit_conv(sd, f"module.{prefix}.conv2", enc["head"])
+
+    emit_enc("fnet", params["fnet"])
+    emit_enc("cnet", params["cnet"])
+    u = params["update"]
+    _emit_conv(sd, "module.update_block.encoder.convc1", u["mc1"])
+    _emit_conv(sd, "module.update_block.encoder.convc2", u["mc2"])
+    _emit_conv(sd, "module.update_block.encoder.convf1", u["mf1"])
+    _emit_conv(sd, "module.update_block.encoder.convf2", u["mf2"])
+    _emit_conv(sd, "module.update_block.encoder.conv", u["mout"])
+    for k_ours, k_ref in (("z1", "convz1"), ("r1", "convr1"),
+                          ("q1", "convq1"), ("z2", "convz2"),
+                          ("r2", "convr2"), ("q2", "convq2")):
+        _emit_conv(sd, f"module.update_block.gru.{k_ref}", u["gru"][k_ours])
+    _emit_conv(sd, "module.update_block.flow_head.conv1", u["fh1"])
+    _emit_conv(sd, "module.update_block.flow_head.conv2", u["fh2"])
+    _emit_conv(sd, "module.update_block.mask.0", u["up1"])
+    _emit_conv(sd, "module.update_block.mask.2", u["up2"])
+
+    got = WD.convert_raft(sd, cfg)
+    # instance norms convert to identity params; overwrite ours to compare
+    import copy
+    want = copy.deepcopy(params)
+
+    def ident_norms(enc):
+        enc["stem_n"] = {"scale": np.ones_like(enc["stem_n"]["scale"]),
+                         "bias": np.zeros_like(enc["stem_n"]["bias"])}
+        for layer in ("layer1", "layer2", "layer3"):
+            for blk in enc[layer]:
+                for nk in ("n1", "n2", "dn"):
+                    if nk in blk:
+                        blk[nk] = {"scale": np.ones_like(blk[nk]["scale"]),
+                                   "bias": np.zeros_like(blk[nk]["bias"])}
+
+    ident_norms(want["fnet"])
+    ident_norms(want["cnet"])
+    _trees_equal(got, want)
