@@ -53,8 +53,18 @@ def _inorm_init(c):
     return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
-def _inorm(p, x):
-    """InstanceNorm2d (no affine tracking stats): per-sample per-channel."""
+def _norm(p, x, kind):
+    """Encoder normalization (extractor.py BasicEncoder norm_fn):
+
+    - "instance": InstanceNorm2d affine=False, track_running_stats=False —
+      per-sample per-channel stats; scale/bias are identity placeholders
+      (fnet, raft.py:54 norm_fn='instance').
+    - "affine": eval-mode BatchNorm2d with running stats folded by the
+      converter into a fixed per-channel scale/bias — NO per-sample
+      statistics (cnet, raft.py:55 norm_fn='batch').
+    """
+    if kind == "affine":
+        return (x.astype(jnp.float32) * p["scale"] + p["bias"]).astype(x.dtype)
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=(1, 2), keepdims=True)
     var = xf.var(axis=(1, 2), keepdims=True)
@@ -78,13 +88,13 @@ def _resunit_init(key, c_in, c_out, stride):
     return p
 
 
-def _resunit(p, x):
+def _resunit(p, x, kind):
     s = int(p["stride"])  # plain int; npz roundtrips store it as an array
-    h = jax.nn.relu(_inorm(p["n1"], L.conv2d(p["conv1"], x, stride=s,
-                                             padding=1)))
-    h = jax.nn.relu(_inorm(p["n2"], L.conv2d(p["conv2"], h, padding=1)))
+    h = jax.nn.relu(_norm(p["n1"], L.conv2d(p["conv1"], x, stride=s,
+                                            padding=1), kind))
+    h = jax.nn.relu(_norm(p["n2"], L.conv2d(p["conv2"], h, padding=1), kind))
     if "down" in p:
-        x = _inorm(p["dn"], L.conv2d(p["down"], x, stride=s, padding=0))
+        x = _norm(p["dn"], L.conv2d(p["down"], x, stride=s, padding=0), kind)
     return jax.nn.relu(x + h)
 
 
@@ -104,15 +114,15 @@ def _encoder_init(key, cfg: RAFTConfig, out_dim: int) -> Params:
     }
 
 
-def _encoder(p, x):
-    h = jax.nn.relu(_inorm(p["stem_n"], L.conv2d(p["stem"], x, stride=2,
-                                                 padding=3)))
+def _encoder(p, x, kind="instance"):
+    h = jax.nn.relu(_norm(p["stem_n"], L.conv2d(p["stem"], x, stride=2,
+                                                padding=3), kind))
     for blk in p["layer1"]:
-        h = _resunit(blk, h)
+        h = _resunit(blk, h, kind)
     for blk in p["layer2"]:
-        h = _resunit(blk, h)
+        h = _resunit(blk, h, kind)
     for blk in p["layer3"]:
-        h = _resunit(blk, h)
+        h = _resunit(blk, h, kind)
     return L.conv2d(p["head"], h, padding=0)
 
 
@@ -207,7 +217,9 @@ def _corr_lookup(pyr, coords: jnp.ndarray, radius: int):
     for lvl, vol in enumerate(pyr):
         c = flat_coords / (2 ** lvl)
         pts = c[:, None, None, :] + delta[None]        # (N, s, s, 2)
-        sampled = bilinear_sample_batch(vol, pts)      # (N, s, s, 1)
+        # grid_sample padding_mode='zeros' semantics (RAFT/utils/utils.py:58):
+        # out-of-range taps taper bilinearly to zero, not border-clamp.
+        sampled = bilinear_sample_batch(vol, pts, zero_outside=True)
         out.append(sampled.reshape(B, H, W, s * s))
     return jnp.concatenate(out, axis=-1)
 
@@ -250,9 +262,9 @@ def raft_flow(p: Params, cfg: RAFTConfig, img1: jnp.ndarray,
     """img1, img2: (B, H, W, 3) in [-1, 1], H/W multiples of 8.
     Returns flow (B, H, W, 2) in pixels."""
     B, H, W, _ = img1.shape
-    f1 = _encoder(p["fnet"], img1)
-    f2 = _encoder(p["fnet"], img2)
-    cnet = _encoder(p["cnet"], img1)
+    f1 = _encoder(p["fnet"], img1, kind="instance")
+    f2 = _encoder(p["fnet"], img2, kind="instance")
+    cnet = _encoder(p["cnet"], img1, kind="affine")
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
     inp = jax.nn.relu(cnet[..., cfg.hidden_dim:])
 

@@ -101,7 +101,8 @@ def group_norm_init(channels: int, dtype=jnp.float32) -> Params:
 
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int,
-               eps: float = 1e-5, barrier: bool = True) -> jnp.ndarray:
+               eps: float = 1e-5, barrier: bool = True,
+               mode: str = "fp32") -> jnp.ndarray:
     """GroupNorm over the trailing channel axis of an (..., C) tensor.
 
     Statistics are computed per (leading batch axis, group) over all other
@@ -114,9 +115,12 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     fused vs 8.6 ms with the barrier (the conv alone is 18 ms). Set
     barrier=False when the consumer is a matmul (LN+matmul fuses WELL and
     a barrier there costs 40x).
+
+    `mode`: "fp32" (default, torch-matching) normalizes and applies the
+    affine in fp32; "bf16" keeps the centered/scaled tensor in the input
+    dtype (faster, reduced precision). Explicit parameters — no ambient
+    environment reads — so numerics are reproducible from the call site.
     """
-    import os
-    mode = os.environ.get("MIMO_GN_MODE", "fp32")
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -137,7 +141,7 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
         y = y.reshape(x.shape)
         y = (y * p["scale"].astype(jnp.float32)
              + p["bias"].astype(jnp.float32)).astype(orig_dtype)
-    if barrier and os.environ.get("MIMO_GN_BARRIER", "1") == "1":
+    if barrier:
         y = jax.lax.optimization_barrier(y)
     return y
 

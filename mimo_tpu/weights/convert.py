@@ -230,8 +230,12 @@ def convert_unet(state_dict: Mapping[str, Any], cfg: UNetConfig,
     p["conv_out"] = _conv(sd, "conv_out")
 
     if strict:
+        # known non-parameter buffers in real checkpoints: CLIP's integer
+        # position_ids-style buffers and the motion module's persistent
+        # sinusoidal PE (reference motion_module.py:275 register_buffer)
         leftovers = [k for k in sd.unused()
-                     if not k.endswith("position_embedding")]
+                     if not k.endswith("position_embedding")
+                     and not k.endswith("pos_encoder.pe")]
         assert not leftovers, f"unconverted keys: {leftovers[:10]}"
     return p
 

@@ -244,7 +244,16 @@ def convert_raft(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
     downsample, conv2 head); update_block = BasicMotionEncoder (convc1/
     convc2/convf1/convf2/conv) + SepConvGRU (convz1/r1/q1 horizontal,
     convz2/r2/q2 vertical) + FlowHead (conv1/conv2) + mask head
-    (mask.0/mask.2). Instance norms are affine=False -> identity params.
+    (mask.0/mask.2).
+
+    Norms (RAFT/raft.py:54-55): fnet is norm_fn='instance' (affine=False,
+    no tracked stats -> identity params, per-sample stats at runtime); cnet
+    is norm_fn='batch' — eval-mode BatchNorm2d whose weight/bias/
+    running_mean/running_var fold into a fixed per-channel affine:
+    scale = weight/sqrt(running_var+eps), bias = bias - running_mean*scale.
+    decomp.raft applies cnet norms with kind='affine' (no per-sample stats).
+    Residual-block norm names: norm1 (post conv1), norm2 (post conv2),
+    norm3 (inside downsample Sequential) — extractor.py:22-53.
     """
     sd = _SD({k[len("module."):] if k.startswith("module.") else k: v
               for k, v in state_dict.items()})
@@ -253,37 +262,49 @@ def convert_raft(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
         return {"scale": np.ones((c,), np.float32),
                 "bias": np.zeros((c,), np.float32)}
 
-    def resunit(prefix, c_out, stride):
+    def bnorm(prefix, c):
+        """Fold eval-mode BatchNorm2d into a fixed affine (eps=1e-5)."""
+        w = _np(sd.get(f"{prefix}.weight")).astype(np.float32)
+        b = _np(sd.get(f"{prefix}.bias")).astype(np.float32)
+        rm = _np(sd.get(f"{prefix}.running_mean")).astype(np.float32)
+        rv = _np(sd.get(f"{prefix}.running_var")).astype(np.float32)
+        if sd.has(f"{prefix}.num_batches_tracked"):
+            sd.get(f"{prefix}.num_batches_tracked")  # consume buffer
+        scale = w / np.sqrt(rv + 1e-5)
+        return {"scale": scale, "bias": b - rm * scale}
+
+    def resunit(prefix, c_out, stride, norm):
         p = {
             "conv1": _conv(sd, f"{prefix}.conv1"),
-            "n1": inorm(c_out),
+            "n1": norm(f"{prefix}.norm1", c_out),
             "conv2": _conv(sd, f"{prefix}.conv2"),
-            "n2": inorm(c_out),
+            "n2": norm(f"{prefix}.norm2", c_out),
             "stride": stride,
         }
         if sd.has(f"{prefix}.downsample.0.weight"):
             p["down"] = _conv(sd, f"{prefix}.downsample.0")
-            p["dn"] = inorm(c_out)
+            p["dn"] = norm(f"{prefix}.norm3", c_out)
         return p
 
-    def encoder(prefix, out_dim):
+    def encoder(prefix, out_dim, norm_fn):
+        norm = (lambda pre, c: inorm(c)) if norm_fn == "instance" else bnorm
         d1, d2, d3 = cfg.enc_dims
         return {
             "stem": _conv(sd, f"{prefix}.conv1"),
-            "stem_n": inorm(d1),
-            "layer1": [resunit(f"{prefix}.layer1.0", d1, 1),
-                       resunit(f"{prefix}.layer1.1", d1, 1)],
-            "layer2": [resunit(f"{prefix}.layer2.0", d2, 2),
-                       resunit(f"{prefix}.layer2.1", d2, 1)],
-            "layer3": [resunit(f"{prefix}.layer3.0", d3, 2),
-                       resunit(f"{prefix}.layer3.1", d3, 1)],
+            "stem_n": norm(f"{prefix}.norm1", d1),
+            "layer1": [resunit(f"{prefix}.layer1.0", d1, 1, norm),
+                       resunit(f"{prefix}.layer1.1", d1, 1, norm)],
+            "layer2": [resunit(f"{prefix}.layer2.0", d2, 2, norm),
+                       resunit(f"{prefix}.layer2.1", d2, 1, norm)],
+            "layer3": [resunit(f"{prefix}.layer3.0", d3, 2, norm),
+                       resunit(f"{prefix}.layer3.1", d3, 1, norm)],
             "head": _conv(sd, f"{prefix}.conv2"),
         }
 
     ub = "update_block"
     return {
-        "fnet": encoder("fnet", cfg.fmap_dim),
-        "cnet": encoder("cnet", cfg.hidden_dim + cfg.context_dim),
+        "fnet": encoder("fnet", cfg.fmap_dim, "instance"),
+        "cnet": encoder("cnet", cfg.hidden_dim + cfg.context_dim, "batch"),
         "update": {
             "mc1": _conv(sd, f"{ub}.encoder.convc1"),
             "mc2": _conv(sd, f"{ub}.encoder.convc2"),

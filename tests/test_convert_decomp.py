@@ -160,19 +160,43 @@ def test_raft_converter_roundtrip():
         R.raft_init(jax.random.PRNGKey(0), cfg))
     sd = {}
 
-    def emit_enc(prefix, enc):
+    rng = np.random.default_rng(7)
+    bn_expect = {}  # emitted BN stats -> expected folded affine, by prefix
+
+    def emit_bn(prefix, c):
+        w = rng.standard_normal(c).astype(np.float32) + 1.0
+        b = rng.standard_normal(c).astype(np.float32)
+        rm = rng.standard_normal(c).astype(np.float32)
+        rv = (rng.random(c).astype(np.float32) + 0.5)
+        sd[f"{prefix}.weight"] = w
+        sd[f"{prefix}.bias"] = b
+        sd[f"{prefix}.running_mean"] = rm
+        sd[f"{prefix}.running_var"] = rv
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(100, np.int64)
+        scale = w / np.sqrt(rv + 1e-5)
+        bn_expect[prefix] = {"scale": scale, "bias": b - rm * scale}
+
+    def emit_enc(prefix, enc, norm_fn):
         _emit_conv(sd, f"module.{prefix}.conv1", enc["stem"])
+        if norm_fn == "batch":
+            emit_bn(f"module.{prefix}.norm1", enc["stem_n"]["scale"].shape[0])
         for li, layer in enumerate(("layer1", "layer2", "layer3"), 1):
             for bi, blk in enumerate(enc[layer]):
                 bp = f"module.{prefix}.{layer}.{bi}"
                 _emit_conv(sd, f"{bp}.conv1", blk["conv1"])
                 _emit_conv(sd, f"{bp}.conv2", blk["conv2"])
+                if norm_fn == "batch":
+                    c = blk["n1"]["scale"].shape[0]
+                    emit_bn(f"{bp}.norm1", c)
+                    emit_bn(f"{bp}.norm2", c)
                 if "down" in blk:
                     _emit_conv(sd, f"{bp}.downsample.0", blk["down"])
+                    if norm_fn == "batch":
+                        emit_bn(f"{bp}.norm3", blk["dn"]["scale"].shape[0])
         _emit_conv(sd, f"module.{prefix}.conv2", enc["head"])
 
-    emit_enc("fnet", params["fnet"])
-    emit_enc("cnet", params["cnet"])
+    emit_enc("fnet", params["fnet"], "instance")
+    emit_enc("cnet", params["cnet"], "batch")
     u = params["update"]
     _emit_conv(sd, "module.update_block.encoder.convc1", u["mc1"])
     _emit_conv(sd, "module.update_block.encoder.convc2", u["mc2"])
@@ -189,20 +213,56 @@ def test_raft_converter_roundtrip():
     _emit_conv(sd, "module.update_block.mask.2", u["up2"])
 
     got = WD.convert_raft(sd, cfg)
-    # instance norms convert to identity params; overwrite ours to compare
     import copy
     want = copy.deepcopy(params)
 
-    def ident_norms(enc):
-        enc["stem_n"] = {"scale": np.ones_like(enc["stem_n"]["scale"]),
-                         "bias": np.zeros_like(enc["stem_n"]["bias"])}
-        for layer in ("layer1", "layer2", "layer3"):
-            for blk in enc[layer]:
-                for nk in ("n1", "n2", "dn"):
-                    if nk in blk:
-                        blk[nk] = {"scale": np.ones_like(blk[nk]["scale"]),
-                                   "bias": np.zeros_like(blk[nk]["bias"])}
+    # fnet: affine=False instance norms convert to identity params
+    enc = want["fnet"]
+    enc["stem_n"] = {"scale": np.ones_like(enc["stem_n"]["scale"]),
+                     "bias": np.zeros_like(enc["stem_n"]["bias"])}
+    for layer in ("layer1", "layer2", "layer3"):
+        for blk in enc[layer]:
+            for nk in ("n1", "n2", "dn"):
+                if nk in blk:
+                    blk[nk] = {"scale": np.ones_like(blk[nk]["scale"]),
+                               "bias": np.zeros_like(blk[nk]["bias"])}
 
-    ident_norms(want["fnet"])
-    ident_norms(want["cnet"])
+    # cnet: eval-mode BatchNorm folds into a fixed affine
+    enc = want["cnet"]
+    enc["stem_n"] = bn_expect["module.cnet.norm1"]
+    for layer in ("layer1", "layer2", "layer3"):
+        for bi, blk in enumerate(enc[layer]):
+            bp = f"module.cnet.{layer}.{bi}"
+            blk["n1"] = bn_expect[f"{bp}.norm1"]
+            blk["n2"] = bn_expect[f"{bp}.norm2"]
+            if "dn" in blk:
+                blk["dn"] = bn_expect[f"{bp}.norm3"]
     _trees_equal(got, want)
+
+
+def test_raft_folded_bn_matches_torch_eval_batchnorm():
+    """The folded affine applied by decomp.raft kind='affine' must equal
+    torch eval-mode BatchNorm2d on the same stats."""
+    import torch
+    from mimo_tpu.decomp import raft as R
+    rng = np.random.default_rng(3)
+    c = 6
+    w = rng.standard_normal(c).astype(np.float32) + 1.0
+    b = rng.standard_normal(c).astype(np.float32)
+    rm = rng.standard_normal(c).astype(np.float32)
+    rv = (rng.random(c).astype(np.float32) + 0.5)
+    x = rng.standard_normal((2, 5, 4, c)).astype(np.float32)
+
+    bn = torch.nn.BatchNorm2d(c).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(w))
+        bn.bias.copy_(torch.tensor(b))
+        bn.running_mean.copy_(torch.tensor(rm))
+        bn.running_var.copy_(torch.tensor(rv))
+        want = bn(torch.tensor(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+
+    scale = w / np.sqrt(rv + 1e-5)
+    p = {"scale": jnp.asarray(scale), "bias": jnp.asarray(b - rm * scale)}
+    got = np.asarray(R._norm(p, jnp.asarray(x), "affine"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
