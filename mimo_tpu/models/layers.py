@@ -73,8 +73,9 @@ def conv2d_init(key, kh: int, kw: int, c_in: int, c_out: int,
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
-           padding: int | str = "SAME") -> jnp.ndarray:
-    """x: (N, H, W, C)."""
+           padding: int | str = "SAME", groups: int = 1) -> jnp.ndarray:
+    """x: (N, H, W, C). groups=C with an (kh, kw, 1, C) kernel is a
+    depthwise conv (torch Conv2d(groups=C) equivalent)."""
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -84,6 +85,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -325,3 +325,178 @@ def convert_raft(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
             "up2": _conv(sd, f"{ub}.mask.2"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# SAM2 (sam2.1_hiera_large.pt; state dict under "model")
+# ---------------------------------------------------------------------------
+
+
+def _sam2_attn(sd: _SD, prefix: str) -> Dict[str, Any]:
+    """sam/transformer.py Attention/RoPEAttention {q,k,v,out}_proj."""
+    return {"q": _linear(sd, f"{prefix}.q_proj"),
+            "k": _linear(sd, f"{prefix}.k_proj"),
+            "v": _linear(sd, f"{prefix}.v_proj"),
+            "out": _linear(sd, f"{prefix}.out_proj")}
+
+
+def convert_sam2(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Published SAM2.1 checkpoint -> decomp.sam2 params.
+
+    Key map (sam2_hiera_l.yaml component tree):
+    - image_encoder.trunk.* -> trunk (hieradet.py Hiera: pos_embed 7x7 bkg
+      + pos_embed_window, patch_embed.proj, blocks.{i}.{norm1,attn.qkv,
+      attn.proj,norm2,mlp.layers.{0,1},proj});
+    - image_encoder.neck.convs.{i}.conv -> trunk.neck[i] (FpnNeck laterals,
+      checkpoint order: convs[0] takes the deepest stage);
+    - memory_attention.layers.{i}.{self_attn,cross_attn_image,linear1,
+      linear2,norm1..3} + memory_attention.norm;
+    - memory_encoder.{mask_downsampler.encoder.*,pix_feat_proj,
+      fuser.layers.*,out_proj};
+    - maskmem_tpos_enc (7,1,1,64), no_mem_embed/no_mem_pos_enc (1,1,256),
+      no_obj_ptr (1,256), obj_ptr_proj MLP;
+    - sam_prompt_encoder.* and sam_mask_decoder.* (SAM two-way decoder +
+      obj score token/head + conv_s0/conv_s1 high-res projections).
+    """
+    raw = state_dict.get("model", state_dict)
+    sd = _SD(raw)
+    dep = sum(cfg.hiera.stages)
+    plan = cfg.hiera.block_plan()
+
+    # --- trunk
+    tk = "image_encoder.trunk"
+    blocks = []
+    for i, (din, dout, heads, window, q_pool) in enumerate(plan):
+        blk = {
+            "ln1": _norm(sd, f"{tk}.blocks.{i}.norm1"),
+            "qkv": _linear(sd, f"{tk}.blocks.{i}.attn.qkv"),
+            "proj_attn": _linear(sd, f"{tk}.blocks.{i}.attn.proj"),
+            "ln2": _norm(sd, f"{tk}.blocks.{i}.norm2"),
+            "fc1": _linear(sd, f"{tk}.blocks.{i}.mlp.layers.0"),
+            "fc2": _linear(sd, f"{tk}.blocks.{i}.mlp.layers.1"),
+        }
+        if din != dout:
+            blk["proj"] = _linear(sd, f"{tk}.blocks.{i}.proj")
+        blocks.append(blk)
+    trunk = {
+        "patch_embed": _conv(sd, f"{tk}.patch_embed.proj"),
+        "pos_bkg": np.transpose(_np(sd.get(f"{tk}.pos_embed"))[0],
+                                (1, 2, 0)),
+        "pos_win": np.transpose(_np(sd.get(f"{tk}.pos_embed_window"))[0],
+                                (1, 2, 0)),
+        "blocks": blocks,
+        "neck": [_conv(sd, f"image_encoder.neck.convs.{i}.conv")
+                 for i in range(len(cfg.hiera.stages))],
+    }
+
+    # --- memory attention
+    ma = "memory_attention"
+    mem_layers = []
+    for i in range(cfg.mem_layers):
+        lp = f"{ma}.layers.{i}"
+        mem_layers.append({
+            "norm1": _norm(sd, f"{lp}.norm1"),
+            "self": _sam2_attn(sd, f"{lp}.self_attn"),
+            "norm2": _norm(sd, f"{lp}.norm2"),
+            "cross": _sam2_attn(sd, f"{lp}.cross_attn_image"),
+            "norm3": _norm(sd, f"{lp}.norm3"),
+            "lin1": _linear(sd, f"{lp}.linear1"),
+            "lin2": _linear(sd, f"{lp}.linear2"),
+        })
+
+    # --- memory encoder
+    me = "memory_encoder"
+    mask_down = [_conv(sd, f"{me}.mask_downsampler.encoder.{3 * i}")
+                 for i in range(4)]
+    mask_down.append(_conv(sd, f"{me}.mask_downsampler.encoder.12"))
+    mask_down_ln = [_norm(sd, f"{me}.mask_downsampler.encoder.{3 * i + 1}")
+                    for i in range(4)]
+    fuser = []
+    for i in range(2):
+        fp = f"{me}.fuser.layers.{i}"
+        fuser.append({
+            "dwconv": _conv(sd, f"{fp}.dwconv"),
+            "norm": _norm(sd, f"{fp}.norm"),
+            "pw1": _linear(sd, f"{fp}.pwconv1"),
+            "pw2": _linear(sd, f"{fp}.pwconv2"),
+            "gamma": sd.get(f"{fp}.gamma"),
+        })
+
+    # --- prompt encoder
+    pe = "sam_prompt_encoder"
+    prompt = {
+        "pe_gaussian": sd.get(
+            f"{pe}.pe_layer.positional_encoding_gaussian_matrix"),
+        "point_embed": np.concatenate(
+            [sd.get(f"{pe}.point_embeddings.{i}.weight")
+             for i in range(4)], axis=0),
+        "not_a_point": sd.get(f"{pe}.not_a_point_embed.weight")[0],
+        "no_mask_embed": sd.get(f"{pe}.no_mask_embed.weight")[0],
+        "mask_down": [_conv(sd, f"{pe}.mask_downscaling.0"),
+                      _conv(sd, f"{pe}.mask_downscaling.3"),
+                      _conv(sd, f"{pe}.mask_downscaling.6")],
+        "mask_down_ln": [_norm(sd, f"{pe}.mask_downscaling.1"),
+                         _norm(sd, f"{pe}.mask_downscaling.4")],
+    }
+
+    # --- mask decoder
+    md = "sam_mask_decoder"
+    tw = []
+    for i in range(2):
+        lp = f"{md}.transformer.layers.{i}"
+        tw.append({
+            "self_attn": _sam_decoder_attn(sd, f"{lp}.self_attn"),
+            "ln1": _norm(sd, f"{lp}.norm1"),
+            "t2i": _sam_decoder_attn(sd, f"{lp}.cross_attn_token_to_image"),
+            "ln2": _norm(sd, f"{lp}.norm2"),
+            "mlp_fc1": _linear(sd, f"{lp}.mlp.layers.0"),
+            "mlp_fc2": _linear(sd, f"{lp}.mlp.layers.1"),
+            "ln3": _norm(sd, f"{lp}.norm3"),
+            "i2t": _sam_decoder_attn(sd, f"{lp}.cross_attn_image_to_token"),
+            "ln4": _norm(sd, f"{lp}.norm4"),
+        })
+    decoder = {
+        "obj_token": sd.get(f"{md}.obj_score_token.weight")[0],
+        "iou_token": sd.get(f"{md}.iou_token.weight")[0],
+        "mask_tokens": sd.get(f"{md}.mask_tokens.weight"),
+        "transformer": tw,
+        "final_attn": _sam_decoder_attn(
+            sd, f"{md}.transformer.final_attn_token_to_image"),
+        "final_ln": _norm(sd, f"{md}.transformer.norm_final_attn"),
+        "up1": _deconv(sd, f"{md}.output_upscaling.0"),
+        "up_ln": _norm(sd, f"{md}.output_upscaling.1"),
+        "up2": _deconv(sd, f"{md}.output_upscaling.3"),
+        "conv_s0": _conv(sd, f"{md}.conv_s0"),
+        "conv_s1": _conv(sd, f"{md}.conv_s1"),
+        "mask_mlps": [_mlp3(sd, f"{md}.output_hypernetworks_mlps.{i}")
+                      for i in range(cfg.num_mask_tokens)],
+        "iou_mlp": _mlp3(sd, f"{md}.iou_prediction_head"),
+        "obj_mlp": _mlp3(sd, f"{md}.pred_obj_score_head"),
+    }
+
+    # mask_downsample: stride-4 conv used only by the mask-input-as-output
+    # path (sam2_base.py:110-113); converted for completeness
+    extras = {}
+    if sd.has("mask_downsample.weight"):
+        extras["mask_downsample"] = _conv(sd, "mask_downsample")
+
+    return {
+        "trunk": trunk,
+        "mem_attn": {"layers": mem_layers, "norm": _norm(sd, f"{ma}.norm")},
+        "mem_enc": {
+            "mask_down": mask_down,
+            "mask_down_ln": mask_down_ln,
+            "pix_proj": _conv(sd, f"{me}.pix_feat_proj"),
+            "fuser": fuser,
+            "out_proj": _conv(sd, f"{me}.out_proj"),
+        },
+        "maskmem_tpos_enc": _np(
+            sd.get("maskmem_tpos_enc")).reshape(cfg.num_maskmem, -1),
+        "no_mem_embed": _np(sd.get("no_mem_embed")).reshape(-1),
+        "no_mem_pos_enc": _np(sd.get("no_mem_pos_enc")).reshape(-1),
+        "no_obj_ptr": _np(sd.get("no_obj_ptr")).reshape(-1),
+        "obj_ptr_proj": _mlp3(sd, "obj_ptr_proj"),
+        "prompt": prompt,
+        "decoder": decoder,
+        **extras,
+    }

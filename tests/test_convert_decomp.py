@@ -266,3 +266,123 @@ def test_raft_folded_bn_matches_torch_eval_batchnorm():
     p = {"scale": jnp.asarray(scale), "bias": jnp.asarray(b - rm * scale)}
     got = np.asarray(R._norm(p, jnp.asarray(x), "affine"))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sam2_converter_roundtrip():
+    """Inverse-emit a synthetic sam2.1 checkpoint from our tiny tree, run
+    convert_sam2, require exact equality (the converter key map is then a
+    bijection onto the published naming)."""
+    from mimo_tpu.decomp import sam2 as S2
+    cfg = S2.tiny_sam2_config()
+    params = jax.tree.map(np.asarray, S2.sam2_init(jax.random.PRNGKey(0),
+                                                   cfg))
+    sd = {}
+
+    def emit_rope_attn(prefix, p):
+        _emit_linear(sd, f"{prefix}.q_proj", p["q"])
+        _emit_linear(sd, f"{prefix}.k_proj", p["k"])
+        _emit_linear(sd, f"{prefix}.v_proj", p["v"])
+        _emit_linear(sd, f"{prefix}.out_proj", p["out"])
+
+    # trunk
+    tk = "image_encoder.trunk"
+    _emit_conv(sd, f"{tk}.patch_embed.proj", params["trunk"]["patch_embed"])
+    sd[f"{tk}.pos_embed"] = np.transpose(
+        params["trunk"]["pos_bkg"], (2, 0, 1))[None]
+    sd[f"{tk}.pos_embed_window"] = np.transpose(
+        params["trunk"]["pos_win"], (2, 0, 1))[None]
+    for i, blk in enumerate(params["trunk"]["blocks"]):
+        bp = f"{tk}.blocks.{i}"
+        _emit_norm(sd, f"{bp}.norm1", blk["ln1"])
+        _emit_linear(sd, f"{bp}.attn.qkv", blk["qkv"])
+        _emit_linear(sd, f"{bp}.attn.proj", blk["proj_attn"])
+        _emit_norm(sd, f"{bp}.norm2", blk["ln2"])
+        _emit_linear(sd, f"{bp}.mlp.layers.0", blk["fc1"])
+        _emit_linear(sd, f"{bp}.mlp.layers.1", blk["fc2"])
+        if "proj" in blk:
+            _emit_linear(sd, f"{bp}.proj", blk["proj"])
+    for i, nc in enumerate(params["trunk"]["neck"]):
+        _emit_conv(sd, f"image_encoder.neck.convs.{i}.conv", nc)
+
+    # memory attention
+    for i, lyr in enumerate(params["mem_attn"]["layers"]):
+        lp = f"memory_attention.layers.{i}"
+        emit_rope_attn(f"{lp}.self_attn", lyr["self"])
+        emit_rope_attn(f"{lp}.cross_attn_image", lyr["cross"])
+        _emit_linear(sd, f"{lp}.linear1", lyr["lin1"])
+        _emit_linear(sd, f"{lp}.linear2", lyr["lin2"])
+        for n in (1, 2, 3):
+            _emit_norm(sd, f"{lp}.norm{n}", lyr[f"norm{n}"])
+    _emit_norm(sd, "memory_attention.norm", params["mem_attn"]["norm"])
+
+    # memory encoder
+    me = params["mem_enc"]
+    for i in range(4):
+        _emit_conv(sd, f"memory_encoder.mask_downsampler.encoder.{3 * i}",
+                   me["mask_down"][i])
+        _emit_norm(sd, f"memory_encoder.mask_downsampler.encoder.{3 * i + 1}",
+                   me["mask_down_ln"][i])
+    _emit_conv(sd, "memory_encoder.mask_downsampler.encoder.12",
+               me["mask_down"][4])
+    _emit_conv(sd, "memory_encoder.pix_feat_proj", me["pix_proj"])
+    for i, fb in enumerate(me["fuser"]):
+        fp = f"memory_encoder.fuser.layers.{i}"
+        _emit_conv(sd, f"{fp}.dwconv", fb["dwconv"])
+        _emit_norm(sd, f"{fp}.norm", fb["norm"])
+        _emit_linear(sd, f"{fp}.pwconv1", fb["pw1"])
+        _emit_linear(sd, f"{fp}.pwconv2", fb["pw2"])
+        sd[f"{fp}.gamma"] = np.asarray(fb["gamma"])
+    _emit_conv(sd, "memory_encoder.out_proj", me["out_proj"])
+
+    # top-level
+    sd["maskmem_tpos_enc"] = params["maskmem_tpos_enc"][:, None, None, :]
+    sd["no_mem_embed"] = params["no_mem_embed"][None, None]
+    sd["no_mem_pos_enc"] = params["no_mem_pos_enc"][None, None]
+    sd["no_obj_ptr"] = params["no_obj_ptr"][None]
+    _emit_mlp3(sd, "obj_ptr_proj", params["obj_ptr_proj"])
+
+    # prompt encoder
+    pr = params["prompt"]
+    pe = "sam_prompt_encoder"
+    sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"] = \
+        np.asarray(pr["pe_gaussian"])
+    for i in range(4):
+        sd[f"{pe}.point_embeddings.{i}.weight"] = pr["point_embed"][i][None]
+    sd[f"{pe}.not_a_point_embed.weight"] = pr["not_a_point"][None]
+    sd[f"{pe}.no_mask_embed.weight"] = pr["no_mask_embed"][None]
+    for i, idx in enumerate((0, 3, 6)):
+        _emit_conv(sd, f"{pe}.mask_downscaling.{idx}", pr["mask_down"][i])
+    for i, idx in enumerate((1, 4)):
+        _emit_norm(sd, f"{pe}.mask_downscaling.{idx}", pr["mask_down_ln"][i])
+
+    # mask decoder
+    dd = params["decoder"]
+    md = "sam_mask_decoder"
+    sd[f"{md}.obj_score_token.weight"] = dd["obj_token"][None]
+    sd[f"{md}.iou_token.weight"] = dd["iou_token"][None]
+    sd[f"{md}.mask_tokens.weight"] = np.asarray(dd["mask_tokens"])
+    for i, blk in enumerate(dd["transformer"]):
+        lp = f"{md}.transformer.layers.{i}"
+        _emit_sam_attn(sd, f"{lp}.self_attn", blk["self_attn"])
+        _emit_sam_attn(sd, f"{lp}.cross_attn_token_to_image", blk["t2i"])
+        _emit_sam_attn(sd, f"{lp}.cross_attn_image_to_token", blk["i2t"])
+        _emit_linear(sd, f"{lp}.mlp.layers.0", blk["mlp_fc1"])
+        _emit_linear(sd, f"{lp}.mlp.layers.1", blk["mlp_fc2"])
+        for n in (1, 2, 3, 4):
+            _emit_norm(sd, f"{lp}.norm{n}", blk[f"ln{n}"])
+    _emit_sam_attn(sd, f"{md}.transformer.final_attn_token_to_image",
+                   dd["final_attn"])
+    _emit_norm(sd, f"{md}.transformer.norm_final_attn", dd["final_ln"])
+    _emit_deconv(sd, f"{md}.output_upscaling.0", dd["up1"])
+    _emit_norm(sd, f"{md}.output_upscaling.1", dd["up_ln"])
+    _emit_deconv(sd, f"{md}.output_upscaling.3", dd["up2"])
+    _emit_conv(sd, f"{md}.conv_s0", dd["conv_s0"])
+    _emit_conv(sd, f"{md}.conv_s1", dd["conv_s1"])
+    for i in range(cfg.num_mask_tokens):
+        _emit_mlp3(sd, f"{md}.output_hypernetworks_mlps.{i}",
+                   dd["mask_mlps"][i])
+    _emit_mlp3(sd, f"{md}.iou_prediction_head", dd["iou_mlp"])
+    _emit_mlp3(sd, f"{md}.pred_obj_score_head", dd["obj_mlp"])
+
+    got = WD.convert_sam2({"model": sd}, cfg)
+    _trees_equal(got, params)

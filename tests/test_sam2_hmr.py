@@ -74,18 +74,25 @@ def test_square_crop_and_cam_lift():
     assert t[2] > 0  # positive depth
 
 
-def test_sam2_with_hiera_backbone():
-    from mimo_tpu.decomp import hiera as HI
-    cfg = S2.SAM2Config(
-        backbone="hiera", hiera=HI.tiny_hiera_config(),
-        dim=32, mem_dim=16, num_mem=2, mem_layers=1, mem_heads=4)
+def test_sam2_mid_frame_prompt_traversal():
+    """Prompting a middle frame: the forward pass tracks frames after it,
+    the backward pass frames before it, and the conditioning frame's
+    prompted mask is preserved in both (sam2_video_predictor propagate
+    traversal + demo_occ.py:405-504 fwd/bwd merge)."""
+    cfg = S2.tiny_sam2_config()
     p = S2.sam2_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     frames = [rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
-              for _ in range(3)]
+              for _ in range(5)]
     pred = S2.SAM2VideoPredictor(p, cfg)
     pred.init_state(frames)
-    m0 = pred.add_new_points(0, np.array([[32.0, 24.0]]), np.array([1]))
-    assert m0.shape == (48, 64)
-    masks = pred.propagate_in_video()
-    assert masks.shape == (3, 48, 64)
+    m0 = pred.add_new_points(2, np.array([[32.0, 24.0]]), np.array([1]))
+    fwd = pred.propagate_in_video(reverse=False)
+    bwd = pred.propagate_in_video(reverse=True)
+    # frames on the untracked side are empty; cond frame mask preserved
+    assert fwd[:2].sum() == 0
+    assert bwd[3:].sum() == 0
+    np.testing.assert_array_equal(fwd[2], m0)
+    np.testing.assert_array_equal(bwd[2], m0)
+    merged = fwd | bwd
+    assert merged.shape == (5, 48, 64)
