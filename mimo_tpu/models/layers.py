@@ -58,8 +58,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv2d_init(key, kh: int, kw: int, c_in: int, c_out: int,
-                bias: bool = True, dtype=jnp.float32, zero: bool = False) -> Params:
+                bias: bool = True, dtype=jnp.float32, zero: bool = False,
+                groups: int = 1) -> Params:
     kk, kb = jax.random.split(key)
+    c_in = c_in // groups
     if zero:
         p = {"kernel": jnp.zeros((kh, kw, c_in, c_out), dtype)}
         if bias:

@@ -73,37 +73,45 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
                   bias: jnp.ndarray | None = None,
                   mask: jnp.ndarray | None = None,
-                  kh: int = 3, kw: int = 3) -> jnp.ndarray:
+                  kh: int = 3, kw: int = 3,
+                  deform_groups: int = 1) -> jnp.ndarray:
     """Modulated deformable conv (torchvision deform_conv2d semantics,
-    stride 1, same padding, single deformable group).
+    stride 1, same padding).
 
-    x: (B, H, W, Cin); offsets: (B, H, W, kh*kw*2) as (dy, dx) pairs in
-    torchvision's kernel-tap order; kernel: (kh, kw, Cin, Cout);
-    mask: (B, H, W, kh*kw) modulation (post-sigmoid) or None.
+    x: (B, H, W, Cin); offsets: (B, H, W, G*kh*kw*2) as (dy, dx) pairs in
+    torchvision's (group, tap) order; kernel: (kh, kw, Cin, Cout);
+    mask: (B, H, W, G*kh*kw) modulation (post-sigmoid) or None. With
+    deform_groups=G, the g-th Cin/G channel slab samples with the g-th
+    offset/mask block.
 
-    Implementation: one bilinear gather per kernel tap (kh*kw gathers) then
-    a single (B*H*W, kh*kw*Cin) x (kh*kw*Cin, Cout) matmul — MXU-friendly.
+    Implementation: one bilinear gather per (group, kernel tap) then a
+    single (B*H*W, kh*kw*Cin) x (kh*kw*Cin, Cout) matmul — MXU-friendly.
     """
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
+    G = deform_groups
+    cg = Cin // G
     ys = jnp.arange(H, dtype=x.dtype)
     xs = jnp.arange(W, dtype=x.dtype)
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
 
     taps = []
-    idx = 0
-    for i in range(kh):              # torchvision order: rows, then cols
-        for j in range(kw):
+    for t in range(kh * kw):         # torchvision order: rows, then cols
+        i, j = t // kw, t % kw
+        groups = []
+        for g in range(G):
+            idx = g * kh * kw + t
             dy = offsets[..., 2 * idx]
             dx = offsets[..., 2 * idx + 1]
             cy = gy[None] + (i - (kh - 1) / 2) + dy
             cx = gx[None] + (j - (kw - 1) / 2) + dx
             coords = jnp.stack([cx, cy], axis=-1)
-            v = bilinear_sample_batch(x, coords, zero_outside=True)
+            v = bilinear_sample_batch(x[..., g * cg:(g + 1) * cg], coords,
+                                      zero_outside=True)
             if mask is not None:
                 v = v * mask[..., idx][..., None]
-            taps.append(v)
-            idx += 1
+            groups.append(v)
+        taps.append(groups[0] if G == 1 else jnp.concatenate(groups, -1))
 
     stacked = jnp.concatenate(taps, axis=-1)          # (B, H, W, kh*kw*Cin)
     kmat = kernel.reshape(kh * kw * Cin, Cout)

@@ -500,3 +500,123 @@ def convert_sam2(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
         "decoder": decoder,
         **extras,
     }
+
+
+# ---------------------------------------------------------------------------
+# ProPainter (ProPainter.pth + recurrent_flow_completion.pth)
+# ---------------------------------------------------------------------------
+
+
+def _conv3d_spatial(sd: _SD, prefix: str) -> Dict[str, np.ndarray]:
+    """Conv3d with kt=1 (C_out, C_in, 1, kh, kw) -> 2D HWIO."""
+    w = _np(sd.get(prefix + ".weight"))[:, :, 0]
+    p = {"kernel": _t_conv(w)}
+    if sd.has(prefix + ".bias"):
+        p["bias"] = sd.get(prefix + ".bias")
+    return p
+
+
+def _conv3d_temporal(sd: _SD, prefix: str) -> Dict[str, np.ndarray]:
+    """Conv3d (C_out, C_in, 3, 1, 1) -> our (3, C_in, C_out) kernel."""
+    w = _np(sd.get(prefix + ".weight"))[:, :, :, 0, 0]
+    return {"kernel": np.transpose(w, (2, 1, 0)),
+            "bias": _np(sd.get(prefix + ".bias"))}
+
+
+def _offset_stack_from(sd: _SD, prefix: str) -> Dict[str, Any]:
+    return {"c1": _conv(sd, f"{prefix}.0"), "c2": _conv(sd, f"{prefix}.2"),
+            "c3": _conv(sd, f"{prefix}.4"), "c4": _conv(sd, f"{prefix}.6")}
+
+
+def _deform_align_from(sd: _SD, prefix: str) -> Dict[str, Any]:
+    return {
+        "offset": _offset_stack_from(sd, f"{prefix}.conv_offset"),
+        "kernel": _t_conv(sd.get(f"{prefix}.weight")),
+        "bias": sd.get(f"{prefix}.bias"),
+    }
+
+
+def _p3d_from(sd: _SD, prefix: str) -> Dict[str, Any]:
+    return {"spatial": _conv3d_spatial(sd, f"{prefix}.conv1.0"),
+            "temporal": _conv3d_temporal(sd, f"{prefix}.conv2.0")}
+
+
+def convert_propainter(gen_sd: Mapping[str, Any],
+                       flow_sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Published ProPainter checkpoints -> decomp.propainter params.
+
+    gen_sd: ProPainter.pth (InpaintGenerator, model/propainter.py:256);
+    flow_sd: recurrent_flow_completion.pth (RecurrentFlowCompleteNet,
+    model/recurrent_flow_completion.py:200). The flow net's training-only
+    edgeDetector weights are consumed and dropped.
+    """
+    fs = _SD(flow_sd)
+    flow = {
+        "down": _conv3d_spatial(fs, "downsample.0"),
+        "enc1a": _p3d_from(fs, "encoder1.0"),
+        "enc1b": _p3d_from(fs, "encoder1.2"),
+        "enc2a": _p3d_from(fs, "encoder2.0"),
+        "enc2b": _p3d_from(fs, "encoder2.2"),
+        "mid": [_conv3d_spatial(fs, f"mid_dilation.{2 * i}")
+                for i in range(3)],
+        "prop": {
+            "align_bwd": _deform_align_from(
+                fs, "feat_prop_module.deform_align.backward_"),
+            "align_fwd": _deform_align_from(
+                fs, "feat_prop_module.deform_align.forward_"),
+            "backbone_bwd": [
+                _conv(fs, "feat_prop_module.backbone.backward_.0"),
+                _conv(fs, "feat_prop_module.backbone.backward_.2")],
+            "backbone_fwd": [
+                _conv(fs, "feat_prop_module.backbone.forward_.0"),
+                _conv(fs, "feat_prop_module.backbone.forward_.2")],
+            "fusion": _conv(fs, "feat_prop_module.fusion"),
+        },
+        "dec2": [_conv(fs, "decoder2.0"), _conv(fs, "decoder2.2.conv")],
+        "dec1": [_conv(fs, "decoder1.0"), _conv(fs, "decoder1.2.conv")],
+        "up": [_conv(fs, "upsample.0"), _conv(fs, "upsample.2.conv")],
+    }
+    for k in list(fs.sd):
+        if k.startswith("edgeDetector."):
+            fs.get(k)  # training-only head: consume, unused at inference
+
+    gs = _SD(gen_sd)
+    enc = [_conv(gs, f"encoder.layers.{2 * i}") for i in range(9)]
+    blocks = []
+    for i in range(cfg.depths):
+        tp = f"transformers.transformer.{i}"
+        if gs.has(f"{tp}.attention.valid_ind_rolled"):
+            gs.get(f"{tp}.attention.valid_ind_rolled")  # static buffer
+        blocks.append({
+            "ln1": _norm(gs, f"{tp}.norm1"),
+            "q": _linear(gs, f"{tp}.attention.query"),
+            "k": _linear(gs, f"{tp}.attention.key"),
+            "v": _linear(gs, f"{tp}.attention.value"),
+            "proj": _linear(gs, f"{tp}.attention.proj"),
+            "pool": _conv(gs, f"{tp}.attention.pool_layer"),
+            "ln2": _norm(gs, f"{tp}.norm2"),
+            "ff1": _linear(gs, f"{tp}.mlp.fc1.0"),
+            "ff2": _linear(gs, f"{tp}.mlp.fc2.1"),
+        })
+    gen = {
+        "enc": enc,
+        "ss": _linear(gs, "ss.embedding"),
+        "sc": _linear(gs, "sc.embedding"),
+        "sc_bias": _conv(gs, "sc.bias_conv"),
+        "blocks": blocks,
+        "align_bwd": _deform_align_from(
+            gs, "feat_prop_module.deform_align.backward_1"),
+        "align_fwd": _deform_align_from(
+            gs, "feat_prop_module.deform_align.forward_1"),
+        "backbone_bwd": [
+            _conv(gs, "feat_prop_module.backbone.backward_1.0"),
+            _conv(gs, "feat_prop_module.backbone.backward_1.2")],
+        "backbone_fwd": [
+            _conv(gs, "feat_prop_module.backbone.forward_1.0"),
+            _conv(gs, "feat_prop_module.backbone.forward_1.2")],
+        "fuse": [_conv(gs, "feat_prop_module.fuse.0"),
+                 _conv(gs, "feat_prop_module.fuse.2")],
+        "dec": [_conv(gs, "decoder.0.conv"), _conv(gs, "decoder.2"),
+                _conv(gs, "decoder.4.conv"), _conv(gs, "decoder.6")],
+    }
+    return {"flow": flow, "gen": gen}

@@ -386,3 +386,101 @@ def test_sam2_converter_roundtrip():
 
     got = WD.convert_sam2({"model": sd}, cfg)
     _trees_equal(got, params)
+
+
+def test_propainter_converter_roundtrip():
+    from mimo_tpu.decomp import propainter as PP
+    cfg = PP.tiny_propainter_config()
+    params = jax.tree.map(np.asarray,
+                          PP.propainter_init(jax.random.PRNGKey(0), cfg))
+
+    def emit_conv3d_spatial(sd, prefix, p):
+        k = np.transpose(p["kernel"], (3, 2, 0, 1))[:, :, None]  # O I 1 kh kw
+        sd[prefix + ".weight"] = k
+        if "bias" in p:
+            sd[prefix + ".bias"] = p["bias"]
+
+    def emit_conv3d_temporal(sd, prefix, p):
+        k = np.transpose(p["kernel"], (2, 1, 0))[:, :, :, None, None]
+        sd[prefix + ".weight"] = k
+        sd[prefix + ".bias"] = p["bias"]
+
+    def emit_p3d(sd, prefix, p):
+        emit_conv3d_spatial(sd, f"{prefix}.conv1.0", p["spatial"])
+        emit_conv3d_temporal(sd, f"{prefix}.conv2.0", p["temporal"])
+
+    def emit_align(sd, prefix, p):
+        for i, ck in zip((0, 2, 4, 6), ("c1", "c2", "c3", "c4")):
+            _emit_conv(sd, f"{prefix}.conv_offset.{i}", p["offset"][ck])
+        sd[prefix + ".weight"] = _inv_conv(p)
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    # ---- flow completion net ----
+    fsd = {}
+    fl = params["flow"]
+    emit_conv3d_spatial(fsd, "downsample.0", fl["down"])
+    emit_p3d(fsd, "encoder1.0", fl["enc1a"])
+    emit_p3d(fsd, "encoder1.2", fl["enc1b"])
+    emit_p3d(fsd, "encoder2.0", fl["enc2a"])
+    emit_p3d(fsd, "encoder2.2", fl["enc2b"])
+    for i in range(3):
+        emit_conv3d_spatial(fsd, f"mid_dilation.{2 * i}", fl["mid"][i])
+    pr = fl["prop"]
+    emit_align(fsd, "feat_prop_module.deform_align.backward_",
+               pr["align_bwd"])
+    emit_align(fsd, "feat_prop_module.deform_align.forward_",
+               pr["align_fwd"])
+    for d, key in (("backward_", "backbone_bwd"), ("forward_",
+                                                   "backbone_fwd")):
+        _emit_conv(fsd, f"feat_prop_module.backbone.{d}0", pr[key][0])
+        _emit_conv(fsd, f"feat_prop_module.backbone.{d}2", pr[key][1])
+    # fix separator: reference keys are backbone.backward_.0
+    for k in list(fsd):
+        if ".backbone.backward_0" in k or ".backbone.forward_0" in k \
+                or ".backbone.backward_2" in k or ".backbone.forward_2" in k:
+            fsd[k.replace("_0", "_.0").replace("_2", "_.2")] = fsd.pop(k)
+    _emit_conv(fsd, "feat_prop_module.fusion", pr["fusion"])
+    _emit_conv(fsd, "decoder2.0", fl["dec2"][0])
+    _emit_conv(fsd, "decoder2.2.conv", fl["dec2"][1])
+    _emit_conv(fsd, "decoder1.0", fl["dec1"][0])
+    _emit_conv(fsd, "decoder1.2.conv", fl["dec1"][1])
+    _emit_conv(fsd, "upsample.0", fl["up"][0])
+    _emit_conv(fsd, "upsample.2.conv", fl["up"][1])
+
+    # ---- generator ----
+    gsd = {}
+    g = params["gen"]
+    for i, conv in enumerate(g["enc"]):
+        _emit_conv(gsd, f"encoder.layers.{2 * i}", conv)
+    _emit_linear(gsd, "ss.embedding", g["ss"])
+    _emit_linear(gsd, "sc.embedding", g["sc"])
+    _emit_conv(gsd, "sc.bias_conv", g["sc_bias"])
+    for i, blk in enumerate(g["blocks"]):
+        tp = f"transformers.transformer.{i}"
+        _emit_norm(gsd, f"{tp}.norm1", blk["ln1"])
+        _emit_linear(gsd, f"{tp}.attention.query", blk["q"])
+        _emit_linear(gsd, f"{tp}.attention.key", blk["k"])
+        _emit_linear(gsd, f"{tp}.attention.value", blk["v"])
+        _emit_linear(gsd, f"{tp}.attention.proj", blk["proj"])
+        _emit_conv(gsd, f"{tp}.attention.pool_layer", blk["pool"])
+        gsd[f"{tp}.attention.valid_ind_rolled"] = np.arange(3)
+        _emit_norm(gsd, f"{tp}.norm2", blk["ln2"])
+        _emit_linear(gsd, f"{tp}.mlp.fc1.0", blk["ff1"])
+        _emit_linear(gsd, f"{tp}.mlp.fc2.1", blk["ff2"])
+    emit_align(gsd, "feat_prop_module.deform_align.backward_1",
+               g["align_bwd"])
+    emit_align(gsd, "feat_prop_module.deform_align.forward_1",
+               g["align_fwd"])
+    for d, key in (("backward_1", "backbone_bwd"),
+                   ("forward_1", "backbone_fwd")):
+        _emit_conv(gsd, f"feat_prop_module.backbone.{d}.0", params["gen"][key][0])
+        _emit_conv(gsd, f"feat_prop_module.backbone.{d}.2", params["gen"][key][1])
+    _emit_conv(gsd, "feat_prop_module.fuse.0", g["fuse"][0])
+    _emit_conv(gsd, "feat_prop_module.fuse.2", g["fuse"][1])
+    _emit_conv(gsd, "decoder.0.conv", g["dec"][0])
+    _emit_conv(gsd, "decoder.2", g["dec"][1])
+    _emit_conv(gsd, "decoder.4.conv", g["dec"][2])
+    _emit_conv(gsd, "decoder.6", g["dec"][3])
+
+    got = WD.convert_propainter(gsd, fsd, cfg)
+    _trees_equal(got, params)
