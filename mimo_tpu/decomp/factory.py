@@ -79,7 +79,8 @@ def build_decomp_models(weights_dir: str,
     if vp_params is not None:
         import jax
 
-        hm_fn = jax.jit(lambda c: VP.heatmaps(vp_params, vp_cfg, c))
+        hm_fn = jax.jit(
+            lambda c: VP.heatmaps_flip_test(vp_params, vp_cfg, c))
 
         def estimate_pose(frame, bbox):
             crop, cs = HMR.square_crop(frame, bbox,

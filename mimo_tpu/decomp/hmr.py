@@ -35,13 +35,17 @@ Params = Dict[str, Any]
 class HMRConfig:
     backbone: ViTConfig = field(default_factory=lambda: ViTConfig(
         img_size=(256, 192), patch_size=16, dim=1280, depth=32,
-        num_heads=16, use_cls_token=False))
+        num_heads=16, use_cls_token=False, patch_padding=4,
+        cls_pos_to_all=True))
     num_joints: int = 24            # SMPL (HaMeR/MANO: 16)
     num_betas: int = 10
-    head_dim: int = 1024
-    head_layers: int = 6
+    head_dim: int = 1024            # TRANSFORMER_DECODER dim
+    head_layers: int = 6            # depth
     head_heads: int = 8
-    ief_iters: int = 3
+    head_dim_head: int = 64         # dim_head (inner = 512, NOT head_dim)
+    mlp_dim: int = 1024
+    ief_iters: int = 1              # reference default (smpl_head.py:79)
+    transformer_input: str = "zero"  # 'zero' | 'mean_shape' (smpl_head:27)
 
 
 def hamer_config() -> HMRConfig:
@@ -51,32 +55,42 @@ def hamer_config() -> HMRConfig:
 def tiny_hmr_config(num_joints: int = 5) -> HMRConfig:
     return HMRConfig(
         backbone=ViTConfig(img_size=(32, 32), patch_size=16, dim=32,
-                           depth=2, num_heads=4, use_cls_token=False),
+                           depth=2, num_heads=4, use_cls_token=False,
+                           patch_padding=4, cls_pos_to_all=True),
         num_joints=num_joints, num_betas=4, head_dim=32, head_layers=2,
-        head_heads=4, ief_iters=2)
+        head_heads=4, head_dim_head=8, mlp_dim=32, ief_iters=2,
+        transformer_input="mean_shape")
 
 
 def hmr_init(key, cfg: HMRConfig) -> Params:
-    keys = iter(jax.random.split(key, 8 + 6 * cfg.head_layers))
+    keys = iter(jax.random.split(key, 8 + 8 * cfg.head_layers))
     d = cfg.head_dim
+    inner = cfg.head_heads * cfg.head_dim_head
     npose = cfg.num_joints * 6
+    token_dim = npose + cfg.num_betas + 3 \
+        if cfg.transformer_input == "mean_shape" else 1
     layers = []
     for _ in range(cfg.head_layers):
         layers.append({
+            # pose_transformer.py Attention/CrossAttention: packed qkv
+            # WITHOUT bias, output proj WITH bias
             "ln1": L.layer_norm_init(d),
-            "self": L.mha_init(next(keys), d),
+            "qkv": L.linear_init(next(keys), d, 3 * inner, bias=False),
+            "attn_out": L.linear_init(next(keys), inner, d),
             "ln2": L.layer_norm_init(d),
-            "cross": L.mha_init(next(keys), d,
-                                context_dim=cfg.backbone.dim),
+            "to_q": L.linear_init(next(keys), d, inner, bias=False),
+            "to_kv": L.linear_init(next(keys), cfg.backbone.dim,
+                                   2 * inner, bias=False),
+            "cross_out": L.linear_init(next(keys), inner, d),
             "ln3": L.layer_norm_init(d),
-            "ff": L.geglu_ff_init(next(keys), d),
+            "fc1": L.linear_init(next(keys), d, cfg.mlp_dim),
+            "fc2": L.linear_init(next(keys), cfg.mlp_dim, d),
         })
     return {
         "backbone": vit_init(next(keys), cfg.backbone),
-        "token": jnp.zeros((d,)),
-        "in_proj": L.linear_init(next(keys), npose + cfg.num_betas + 3, d),
+        "token_embed": L.linear_init(next(keys), token_dim, d),
+        "pos_embed": jax.random.normal(next(keys), (1, d)),
         "layers": layers,
-        "ln_out": L.layer_norm_init(d),
         "dec_pose": L.linear_init(next(keys), d, npose),
         "dec_betas": L.linear_init(next(keys), d, cfg.num_betas),
         "dec_cam": L.linear_init(next(keys), d, 3),
@@ -89,8 +103,29 @@ def hmr_init(key, cfg: HMRConfig) -> Params:
     }
 
 
+def _head_attn(q_in, kv_in, qkv_or_q, to_kv, out_p, heads, dim_head):
+    """pose_transformer.py Attention (packed) / CrossAttention: softmax
+    (QK^T / sqrt(dim_head)) V with inner dim heads*dim_head."""
+    inner = heads * dim_head
+    if to_kv is None:
+        qkv = L.linear(qkv_or_q, q_in)
+        q, k, v = (qkv[..., :inner], qkv[..., inner:2 * inner],
+                   qkv[..., 2 * inner:])
+    else:
+        q = L.linear(qkv_or_q, q_in)
+        kv = L.linear(to_kv, kv_in)
+        k, v = kv[..., :inner], kv[..., inner:]
+    b, sq, _ = q.shape
+    sk = k.shape[1]
+    o = jax.nn.dot_product_attention(
+        q.reshape(b, sq, heads, dim_head), k.reshape(b, sk, heads, dim_head),
+        v.reshape(b, sk, heads, dim_head))
+    return L.linear(out_p, o.reshape(b, sq, inner))
+
+
 def hmr_forward(p: Params, cfg: HMRConfig, crops: jnp.ndarray):
-    """crops: (B, H, W, 3) ImageNet-normalized. Returns dict with
+    """SMPLTransformerDecoderHead (smpl_head.py:17-120) on the ViT
+    backbone. crops: (B, H, W, 3) ImageNet-normalized. Returns dict with
     pose_rotmats (B, J, 3, 3), betas (B, nb), cam (B, 3) weak-perspective
     [s, tx, ty] in crop coords."""
     B = crops.shape[0]
@@ -101,19 +136,27 @@ def hmr_forward(p: Params, cfg: HMRConfig, crops: jnp.ndarray):
     cam = jnp.broadcast_to(p["mean_cam"][None], (B, 3))
 
     for _ in range(cfg.ief_iters):
-        token = jnp.broadcast_to(p["token"][None, None],
-                                 (B, 1, cfg.head_dim)).astype(ctx.dtype)
-        token = token + L.linear(
-            p["in_proj"], jnp.concatenate([pose, betas, cam], axis=-1)
-        ).astype(ctx.dtype)[:, None, :]
+        if cfg.transformer_input == "mean_shape":
+            tok_in = jnp.concatenate([pose, betas, cam],
+                                     axis=-1)[:, None, :]
+        else:
+            tok_in = jnp.zeros((B, 1, 1), ctx.dtype)
+        token = L.linear(p["token_embed"], tok_in.astype(ctx.dtype))
+        token = token + p["pos_embed"].astype(token.dtype)[None]
         for blk in p["layers"]:
             y = L.layer_norm(blk["ln1"], token)
-            token = token + L.mha(blk["self"], y, None, cfg.head_heads)
+            token = token + _head_attn(y, None, blk["qkv"], None,
+                                       blk["attn_out"], cfg.head_heads,
+                                       cfg.head_dim_head)
             y = L.layer_norm(blk["ln2"], token)
-            token = token + L.mha(blk["cross"], y, ctx, cfg.head_heads)
+            token = token + _head_attn(y, ctx, blk["to_q"], blk["to_kv"],
+                                       blk["cross_out"], cfg.head_heads,
+                                       cfg.head_dim_head)
             y = L.layer_norm(blk["ln3"], token)
-            token = token + L.geglu_ff(blk["ff"], y)
-        feat = L.layer_norm(p["ln_out"], token)[:, 0].astype(jnp.float32)
+            h = jax.nn.gelu(L.linear(blk["fc1"], y).astype(jnp.float32),
+                            approximate=False).astype(y.dtype)
+            token = token + L.linear(blk["fc2"], h)
+        feat = token[:, 0].astype(jnp.float32)   # no final norm (reference)
         pose = pose + L.linear(p["dec_pose"], feat)
         betas = betas + L.linear(p["dec_betas"], feat)
         cam = cam + L.linear(p["dec_cam"], feat)

@@ -43,9 +43,19 @@ class ViTConfig:
     use_rel_pos: bool = False          # SAM decomposed rel-pos bias
     qkv_bias: bool = True
     ln_eps: float = 1e-6
+    # ViTPose/HMR2 backbone quirks (third-party/ViTPose vit.py:157,320):
+    # patch conv padding=4, and a cls-slot pos embed added to ALL tokens
+    patch_padding: int = 0
+    cls_pos_to_all: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
+        if self.patch_padding:
+            return (
+                (self.img_size[0] + 2 * self.patch_padding
+                 - self.patch_size) // self.patch_size + 1,
+                (self.img_size[1] + 2 * self.patch_padding
+                 - self.patch_size) // self.patch_size + 1)
         return (self.img_size[0] // self.patch_size,
                 self.img_size[1] // self.patch_size)
 
@@ -79,7 +89,8 @@ def _block_init(key, cfg: ViTConfig, windowed: bool) -> Params:
 def vit_init(key, cfg: ViTConfig) -> Params:
     keys = jax.random.split(key, cfg.depth + 4)
     gh, gw = cfg.grid
-    n_tokens = gh * gw + (1 if cfg.use_cls_token else 0)
+    n_tokens = gh * gw + (1 if (cfg.use_cls_token or cfg.cls_pos_to_all)
+                          else 0)
     p: Params = {
         "patch_embed": L.conv2d_init(keys[0], cfg.patch_size, cfg.patch_size,
                                      cfg.in_channels, cfg.dim),
@@ -188,15 +199,20 @@ def vit_apply(p: Params, cfg: ViTConfig, pixels: jnp.ndarray,
     """
     b = pixels.shape[0]
     h = L.conv2d(p["patch_embed"], pixels, stride=cfg.patch_size,
-                 padding=0)
+                 padding=cfg.patch_padding)
     gh, gw = h.shape[1], h.shape[2]
     tokens = h.reshape(b, gh * gw, cfg.dim)
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(p["cls_token"].astype(tokens.dtype)[None, None],
                                (b, 1, cfg.dim))
         tokens = jnp.concatenate([cls, tokens], axis=1)
-    tokens = tokens + _interp_pos_embed(p["pos_embed"], cfg, gh, gw
-                                        ).astype(tokens.dtype)[None]
+    if cfg.cls_pos_to_all:
+        # x + pos_embed[:, 1:] + pos_embed[:, :1] (ViTPose vit.py:320)
+        pos = p["pos_embed"].astype(tokens.dtype)
+        tokens = tokens + pos[None, 1:] + pos[None, :1]
+    else:
+        tokens = tokens + _interp_pos_embed(p["pos_embed"], cfg, gh, gw
+                                            ).astype(tokens.dtype)[None]
 
     inter = []
     for i, blk in enumerate(p["blocks"]):

@@ -31,16 +31,19 @@ Params = Dict[str, Any]
 class ViTPoseConfig:
     backbone: ViTConfig = field(default_factory=lambda: ViTConfig(
         img_size=(256, 192), patch_size=16, dim=1280, depth=32,
-        num_heads=16, use_cls_token=False))
+        num_heads=16, use_cls_token=False, patch_padding=4,
+        cls_pos_to_all=True))
     num_keypoints: int = 133
     deconv_channels: int = 256
     num_deconv: int = 2
+    flip_test: bool = True      # ViTPose_huge_wholebody_256x192.py:28-56
 
 
 def tiny_vitpose_config() -> ViTPoseConfig:
     return ViTPoseConfig(
         backbone=ViTConfig(img_size=(64, 48), patch_size=16, dim=32,
-                           depth=2, num_heads=4, use_cls_token=False),
+                           depth=2, num_heads=4, use_cls_token=False,
+                           patch_padding=4, cls_pos_to_all=True),
         num_keypoints=7, deconv_channels=16)
 
 
@@ -94,13 +97,65 @@ def heatmaps(p: Params, cfg: ViTPoseConfig,
     """crops: (B, 256, 192, 3) ImageNet-normalized person crops ->
     (B, 64, 48, K) heatmaps."""
     b, H, W, _ = crops.shape
-    gh, gw = H // cfg.backbone.patch_size, W // cfg.backbone.patch_size
+    ps = cfg.backbone.patch_size
+    pp = cfg.backbone.patch_padding
+    gh = (H + 2 * pp - ps) // ps + 1 if pp else H // ps
+    gw = (W + 2 * pp - ps) // ps + 1 if pp else W // ps
     tokens = vit_apply(p["backbone"], cfg.backbone, crops)
     x = tokens_to_grid(tokens, cfg.backbone, gh, gw)
     for blk in p["deconvs"]:
         x = _deconv_apply(blk["deconv"], x)
         x = jax.nn.relu(_bn(blk, x))
     return L.conv2d(p["final"], x, padding=0)
+
+
+# COCO-wholebody mirrored keypoint pairs (derived from the `swap` fields in
+# ViTPose configs/_base_/datasets/coco_wholebody.py): body 8, feet 3,
+# face 29, hands 21.
+COCO_WHOLEBODY_FLIP_PAIRS = [
+    (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16),
+    (17, 20), (18, 21), (19, 22),
+    (23, 39), (24, 38), (25, 37), (26, 36), (27, 35), (28, 34), (29, 33),
+    (30, 32), (40, 49), (41, 48), (42, 47), (43, 46), (44, 45), (54, 58),
+    (55, 57), (59, 68), (60, 67), (61, 66), (62, 65), (63, 70), (64, 69),
+    (71, 77), (72, 76), (73, 75), (78, 82), (79, 81), (83, 87), (84, 86),
+    (88, 90),
+    (91, 112), (92, 113), (93, 114), (94, 115), (95, 116), (96, 117),
+    (97, 118), (98, 119), (99, 120), (100, 121), (101, 122), (102, 123),
+    (103, 124), (104, 125), (105, 126), (106, 127), (107, 128), (108, 129),
+    (109, 130), (110, 131), (111, 132),
+]
+
+
+def _flip_perm(num_keypoints: int, flip_pairs) -> np.ndarray:
+    perm = np.arange(num_keypoints)
+    for a, b in flip_pairs:
+        perm[a], perm[b] = b, a
+    return perm
+
+
+def heatmaps_flip_test(p: Params, cfg: ViTPoseConfig, crops: jnp.ndarray,
+                       flip_pairs=None) -> jnp.ndarray:
+    """Flip-test heatmap averaging (mmpose TopDown.forward_test with the
+    runtime config's flip_test=True, shift_heatmap=True —
+    ViTPose_huge_wholebody_256x192.py:55-58):
+    run the horizontally-flipped crop, swap mirrored keypoint channels and
+    un-flip (post_transforms.py:110-148 flip_back), shift the flipped
+    heatmap one pixel right (topdown_heatmap_simple_head.py:222-224), then
+    average with the direct heatmap."""
+    if flip_pairs is None:
+        flip_pairs = [pr for pr in COCO_WHOLEBODY_FLIP_PAIRS
+                      if pr[1] < cfg.num_keypoints]
+    hm = heatmaps(p, cfg, crops)
+    if not cfg.flip_test:
+        return hm
+    hm_f = heatmaps(p, cfg, crops[:, :, ::-1])
+    perm = _flip_perm(cfg.num_keypoints, flip_pairs)
+    hm_f = hm_f[..., perm][:, :, ::-1]           # swap pairs, un-flip W
+    # shift_heatmap: duplicate column 0, drop the last (NKHW [..., 1:] =
+    # [..., :-1] in channels-last W terms)
+    hm_f = jnp.concatenate([hm_f[:, :, :1], hm_f[:, :, :-1]], axis=2)
+    return (hm + hm_f) * 0.5
 
 
 def decode_keypoints(hm: np.ndarray, boxes_xywh: np.ndarray):

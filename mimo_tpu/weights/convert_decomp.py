@@ -206,11 +206,9 @@ def convert_vitpose(state_dict: Mapping[str, Any], cfg: ViTPoseConfig
             for i in range(cfg.backbone.depth)],
         "ln_out": _norm(sd, f"{bb}.last_norm"),
     }
-    # ViT(Pose) pos_embed includes a cls slot even in no-cls mode; drop it
-    n_grid = ((cfg.backbone.img_size[0] // cfg.backbone.patch_size)
-              * (cfg.backbone.img_size[1] // cfg.backbone.patch_size))
-    if backbone["pos_embed"].shape[0] == n_grid + 1:
-        backbone["pos_embed"] = backbone["pos_embed"][1:]
+    # ViT(Pose) pos_embed keeps its cls slot: the forward adds
+    # pos_embed[1:] to the tokens AND pos_embed[:1] to everything
+    # (vit.py:320, cfg.backbone.cls_pos_to_all)
 
     deconvs = []
     for i in range(cfg.num_deconv):
@@ -620,3 +618,76 @@ def convert_propainter(gen_sd: Mapping[str, Any],
                 _conv(gs, "decoder.4.conv"), _conv(gs, "decoder.6")],
     }
     return {"flow": flow, "gen": gen}
+
+
+# ---------------------------------------------------------------------------
+# HMR2 (4D-Humans epoch=35 ckpt) / HaMeR — shared head structure
+# ---------------------------------------------------------------------------
+
+
+def convert_hmr2(state_dict: Mapping[str, Any], cfg,
+                 head_prefix: str = "smpl_head",
+                 pose_buffer: str = "init_body_pose") -> Dict[str, Any]:
+    """HMR2 lightning checkpoint state dict -> decomp.hmr params.
+
+    Key map: backbone.* is the ViTPose-style ViT (patch_embed.proj,
+    blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+    last_norm, pos_embed incl. cls slot); {head_prefix}.transformer is
+    pose_transformer.py TransformerDecoder (to_token_embedding,
+    pos_embedding, transformer.layers.{i}.{0,1,2} = PreNorm(self-attn /
+    cross-attn / FeedForward)); decpose/decshape/deccam; the mean-param
+    IEF anchors are the registered buffers init_*_pose/init_betas/
+    init_cam (smpl_head.py:50-56). Training-only keys (discriminator,
+    smpl/mano model buffers) are ignored.
+
+    For HaMeR call with head_prefix='mano_head',
+    pose_buffer='init_hand_pose' (mano_head.py:49-55).
+    """
+    sd = _SD({k: v for k, v in state_dict.items()
+              if k.startswith(("backbone.", head_prefix + "."))})
+    bb = "backbone"
+    backbone = {
+        "patch_embed": _conv(sd, f"{bb}.patch_embed.proj"),
+        "pos_embed": _np(sd.get(f"{bb}.pos_embed"))[0],
+        "blocks": [
+            _vit_block(sd, f"{bb}.blocks.{i}",
+                       mlp_names=("mlp.fc1", "mlp.fc2"))
+            for i in range(cfg.backbone.depth)],
+        "ln_out": _norm(sd, f"{bb}.last_norm"),
+    }
+
+    tr = f"{head_prefix}.transformer"
+    layers = []
+    for i in range(cfg.head_layers):
+        lp = f"{tr}.transformer.layers.{i}"
+        layers.append({
+            "ln1": _norm(sd, f"{lp}.0.norm"),
+            "qkv": _linear(sd, f"{lp}.0.fn.to_qkv", bias=False),
+            "attn_out": _linear(sd, f"{lp}.0.fn.to_out.0"),
+            "ln2": _norm(sd, f"{lp}.1.norm"),
+            "to_q": _linear(sd, f"{lp}.1.fn.to_q", bias=False),
+            "to_kv": _linear(sd, f"{lp}.1.fn.to_kv", bias=False),
+            "cross_out": _linear(sd, f"{lp}.1.fn.to_out.0"),
+            "ln3": _norm(sd, f"{lp}.2.norm"),
+            "fc1": _linear(sd, f"{lp}.2.fn.net.0"),
+            "fc2": _linear(sd, f"{lp}.2.fn.net.3"),
+        })
+
+    return {
+        "backbone": backbone,
+        "token_embed": _linear(sd, f"{tr}.to_token_embedding"),
+        "pos_embed": _np(sd.get(f"{tr}.pos_embedding"))[0],
+        "layers": layers,
+        "dec_pose": _linear(sd, f"{head_prefix}.decpose"),
+        "dec_betas": _linear(sd, f"{head_prefix}.decshape"),
+        "dec_cam": _linear(sd, f"{head_prefix}.deccam"),
+        "mean_pose": _np(sd.get(f"{head_prefix}.{pose_buffer}"))[0],
+        "mean_betas": _np(sd.get(f"{head_prefix}.init_betas"))[0],
+        "mean_cam": _np(sd.get(f"{head_prefix}.init_cam"))[0],
+    }
+
+
+def convert_hamer(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """HaMeR checkpoint -> decomp.hmr params (MANO head naming)."""
+    return convert_hmr2(state_dict, cfg, head_prefix="mano_head",
+                        pose_buffer="init_hand_pose")

@@ -484,3 +484,60 @@ def test_propainter_converter_roundtrip():
 
     got = WD.convert_propainter(gsd, fsd, cfg)
     _trees_equal(got, params)
+
+
+def _emit_hmr_ckpt(params, cfg, head="smpl_head", pose_buf="init_body_pose"):
+    sd = {}
+    bb = params["backbone"]
+    _emit_conv(sd, "backbone.patch_embed.proj", bb["patch_embed"])
+    sd["backbone.pos_embed"] = bb["pos_embed"][None]
+    for i, blk in enumerate(bb["blocks"]):
+        _emit_vit_block(sd, f"backbone.blocks.{i}", blk,
+                        mlp=("mlp.fc1", "mlp.fc2"))
+    _emit_norm(sd, "backbone.last_norm", bb["ln_out"])
+
+    tr = f"{head}.transformer"
+    _emit_linear(sd, f"{tr}.to_token_embedding", params["token_embed"])
+    sd[f"{tr}.pos_embedding"] = params["pos_embed"][None]
+    for i, blk in enumerate(params["layers"]):
+        lp = f"{tr}.transformer.layers.{i}"
+        _emit_norm(sd, f"{lp}.0.norm", blk["ln1"])
+        _emit_linear(sd, f"{lp}.0.fn.to_qkv", blk["qkv"])
+        _emit_linear(sd, f"{lp}.0.fn.to_out.0", blk["attn_out"])
+        _emit_norm(sd, f"{lp}.1.norm", blk["ln2"])
+        _emit_linear(sd, f"{lp}.1.fn.to_q", blk["to_q"])
+        _emit_linear(sd, f"{lp}.1.fn.to_kv", blk["to_kv"])
+        _emit_linear(sd, f"{lp}.1.fn.to_out.0", blk["cross_out"])
+        _emit_norm(sd, f"{lp}.2.norm", blk["ln3"])
+        _emit_linear(sd, f"{lp}.2.fn.net.0", blk["fc1"])
+        _emit_linear(sd, f"{lp}.2.fn.net.3", blk["fc2"])
+    _emit_linear(sd, f"{head}.decpose", params["dec_pose"])
+    _emit_linear(sd, f"{head}.decshape", params["dec_betas"])
+    _emit_linear(sd, f"{head}.deccam", params["dec_cam"])
+    sd[f"{head}.{pose_buf}"] = params["mean_pose"][None]
+    sd[f"{head}.init_betas"] = params["mean_betas"][None]
+    sd[f"{head}.init_cam"] = params["mean_cam"][None]
+    # training-only keys the converter must ignore
+    sd["discriminator.D_conv.weight"] = np.zeros((1,), np.float32)
+    return sd
+
+
+def test_hmr2_converter_roundtrip():
+    from mimo_tpu.decomp import hmr as HM
+    cfg = HM.tiny_hmr_config()
+    params = jax.tree.map(np.asarray,
+                          HM.hmr_init(jax.random.PRNGKey(0), cfg))
+    sd = _emit_hmr_ckpt(params, cfg)
+    got = WD.convert_hmr2(sd, cfg)
+    _trees_equal(got, params)
+
+
+def test_hamer_converter_roundtrip():
+    from mimo_tpu.decomp import hmr as HM
+    cfg = HM.tiny_hmr_config(num_joints=4)
+    params = jax.tree.map(np.asarray,
+                          HM.hmr_init(jax.random.PRNGKey(1), cfg))
+    sd = _emit_hmr_ckpt(params, cfg, head="mano_head",
+                        pose_buf="init_hand_pose")
+    got = WD.convert_hamer(sd, cfg)
+    _trees_equal(got, params)

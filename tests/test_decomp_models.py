@@ -140,3 +140,32 @@ def test_mask_nms_dedup():
         {"segmentation": c, "predicted_iou": 0.7, "area": 20},
     ], iou_thresh=0.7)
     assert len(res) == 2
+
+
+def test_vitpose_flip_test_matches_oracle():
+    """Flip-averaged heatmaps equal a numpy re-statement of the mmpose
+    TopDown test path (flip image -> net -> flip_back channel swap +
+    horizontal unflip -> one-pixel right shift -> average)."""
+    cfg = VP.tiny_vitpose_config()
+    p = VP.vitpose_init(jax.random.PRNGKey(0), cfg)
+    pairs = [(1, 2), (3, 4)]
+    crops = jax.random.normal(jax.random.PRNGKey(1),
+                              (2, *cfg.backbone.img_size, 3))
+    got = np.asarray(VP.heatmaps_flip_test(p, cfg, crops,
+                                           flip_pairs=pairs))
+
+    direct = np.asarray(VP.heatmaps(p, cfg, crops))
+    flipped = np.asarray(VP.heatmaps(p, cfg, crops[:, :, ::-1]))
+    # flip_back (post_transforms.py:110-148): swap pairs then mirror W
+    back = flipped.copy()
+    for a, b in pairs:
+        back[..., a] = flipped[..., b]
+        back[..., b] = flipped[..., a]
+    back = back[:, :, ::-1]
+    # shift_heatmap=True (topdown_heatmap_simple_head.py:222-224)
+    shifted = back.copy()
+    shifted[:, :, 1:] = back[:, :, :-1]
+    want = (direct + shifted) * 0.5
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and the flip branch actually changes the result
+    assert np.abs(got - direct).max() > 1e-6
