@@ -24,7 +24,8 @@ from mimo_tpu.utils import video_io as VIO
 def animate(runner: Runner, ref_img: np.ndarray, template_path: str, *,
             width: int = 784, height: int = 784, steps: int = 25,
             cfg_scale: float = 3.5, seed: int = 42,
-            max_frames: int = 150) -> np.ndarray:
+            max_frames: int = 150,
+            interpolation_factor: int = 0) -> np.ndarray:
     """Returns (F, height, width, 3) float video in [0, 1]
     (run_animate.py:152-226 semantics: white bk via init_bk, global
     crop_human, no paste-back)."""
@@ -46,7 +47,8 @@ def animate(runner: Runner, ref_img: np.ndarray, template_path: str, *,
 
     return runner.generate(ref, padded_pose, padded_bk, width=width,
                            height=height, steps=steps, cfg_scale=cfg_scale,
-                           seed=seed)
+                           seed=seed,
+                           interpolation_factor=interpolation_factor)
 
 
 def main(argv=None):
@@ -63,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--cfg", type=float, default=3.5)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-frames", type=int, default=150)
+    ap.add_argument("--interp", type=int, default=0,
+                    help="latent interpolation factor (frame-rate "
+                         "upsampling; reference pipeline "
+                         "interpolation_factor)")
     args = ap.parse_args(argv)
 
     # validate inputs before the (slow) model init
@@ -75,7 +81,8 @@ def main(argv=None):
     runner = Runner(cfg=cfg, params=params)
     video = animate(runner, ref, args.template, width=args.W, height=args.H,
                     steps=args.steps, cfg_scale=args.cfg, seed=args.seed,
-                    max_frames=args.max_frames)
+                    max_frames=args.max_frames,
+                    interpolation_factor=args.interp)
     fps = load_template(args.template, max_frames=1).fps
     VIO.save_video(video, args.output, fps=fps)
     print(f"saved {video.shape[0]} frames to {args.output}")

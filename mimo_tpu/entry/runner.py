@@ -102,7 +102,8 @@ class Runner:
     def generate(self, ref_image: np.ndarray, pose_frames: List[np.ndarray],
                  bk_frames: List[np.ndarray], *, width: int, height: int,
                  steps: int, cfg_scale: float, seed: int,
-                 window_chunk: Optional[int] = None) -> np.ndarray:
+                 window_chunk: Optional[int] = None,
+                 interpolation_factor: int = 0) -> np.ndarray:
         """ref_image: (h, w, 3) uint8 prepared reference; pose/bk frames:
         uint8 lists (any size — resized here). Returns (F, height, width, 3)
         float in [0, 1]."""
@@ -126,7 +127,8 @@ class Runner:
         st = pose2vid.Pose2VideoStatic(
             cfg=self.cfg, num_frames=F, height=height, width=width,
             num_inference_steps=steps, guidance_scale=cfg_scale,
-            window_chunk=window_chunk)
+            window_chunk=window_chunk,
+            interpolation_factor=interpolation_factor)
         fn = self._get_fn(st)
         out = fn(self.params, jnp.asarray(ref, dt), jnp.asarray(pose, dt),
                  jnp.asarray(bk, dt), jnp.asarray(clip_px, dt),

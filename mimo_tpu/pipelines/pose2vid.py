@@ -60,6 +60,10 @@ class Pose2VideoStatic:
     mesh_axis: Optional[str] = None      # shard window batch over this axis
     vae_chunk: int = 4                   # frames per VAE call (full-res
                                          # activations are ~200MB/frame)
+    interpolation_factor: int = 0        # latent frame-rate upsampling
+                                         # before decode (reference
+                                         # pipeline...roiclip.py:566-567)
+    interpolation_mode: str = "slerp"    # utils.py set_tensor_interpolation
 
     @property
     def do_cfg(self) -> bool:
@@ -405,6 +409,10 @@ def generate_host_loop(params: Params, st: Pose2VideoStatic,
         for i in range(ddim.num_steps):
             latents = cache["step"](params["denoising_unet"], cond, latents,
                                     jnp.asarray(i))
+    if st.interpolation_factor > 1:
+        from mimo_tpu.pipelines.interp import interpolate_latents
+        latents = interpolate_latents(latents, st.interpolation_factor,
+                                      st.interpolation_mode)
     return cache["decode"](params, latents)
 
 
@@ -425,6 +433,10 @@ def generate_fn(params: Params, st: Pose2VideoStatic,
     init_latents = noise * ddim.init_noise_sigma
     latents = denoise(params, st, ddim, cond, init_latents, windows,
                       wweights)
+    if st.interpolation_factor > 1:
+        from mimo_tpu.pipelines.interp import interpolate_latents
+        latents = interpolate_latents(latents, st.interpolation_factor,
+                                      st.interpolation_mode)
     images = chunked_apply(
         lambda z: V.decode(params["vae"], st.cfg.vae, z), latents,
         st.vae_chunk)

@@ -79,3 +79,38 @@ def test_edit_requires_bk(tiny_runner, tmp_path):
     with pytest.raises(FileNotFoundError, match="bk.mp4"):
         ED.edit(tiny_runner, _ref_image(), tpl, width=32, height=32,
                 steps=1, cfg_scale=1.0, seed=0)
+
+
+def test_generate_with_interpolation_factor():
+    """interpolation_factor=2 upsamples F frames to (F-1)*2+1 before decode
+    (reference pipeline...roiclip.py:293-337,566-567)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_tpu import config as C
+    from mimo_tpu.pipelines import pose2vid
+
+    cfg = C.tiny_mimo_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    from mimo_tpu.models import unet as U, vae as V, clip_vision as CV, \
+        pose_guider as PG
+    params = {
+        "reference_unet": U.unet_init(ks[0], cfg.reference_unet),
+        "denoising_unet": U.unet_init(ks[1], cfg.denoising_unet),
+        "pose_guider": PG.pose_guider_init(ks[2], cfg.pose_guider),
+        "vae": V.vae_init(ks[3], cfg.vae),
+        "clip": CV.clip_vision_init(ks[4], cfg.clip_vision),
+    }
+    F, H, W = 4, 32, 32
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, interpolation_factor=2)
+    ds = cfg.vae.downscale
+    out = pose2vid.generate_host_loop(
+        params, st,
+        jax.random.uniform(ks[5], (H, W, 3)) * 2 - 1,
+        jax.random.uniform(ks[5], (F, H, W, 3)),
+        jax.random.uniform(ks[5], (F, H, W, 3)) * 2 - 1,
+        jax.random.normal(ks[5], (cfg.clip_vision.image_size,
+                                  cfg.clip_vision.image_size, 3)),
+        jax.random.normal(ks[5], (F, H // ds, W // ds, 4)))
+    assert out.shape == ((F - 1) * 2 + 1, H, W, 3)

@@ -16,10 +16,16 @@ from mimo_tpu import config as C
 from mimo_tpu.pipelines import pose2vid
 from tests.test_pipeline import tiny_params, tiny_inputs
 
-# Recorded from the round-1 implementation (seed 0/1 as in tiny_params/
-# tiny_inputs). If an INTENDED semantic change shifts these, re-record and
-# say why in the commit message.
-GOLDEN_MEAN = None  # filled by the recording below on first run
+# Recorded per-frame mean/std of the fixed-seed tiny generation (seed 0/1
+# via tiny_params/tiny_inputs, 6 frames 32x32, 2 DDIM steps, CPU fp32).
+# A deliberate scheduler off-by-one, mis-wired conditioning, or broken
+# overlap averaging shifts these far beyond the tolerance. If an INTENDED
+# semantic change moves them, re-record (the recording snippet is in the
+# repo history) and say why in the commit message.
+GOLDEN_MEAN = np.array([0.55808467, 0.54674804, 0.55688363, 0.54973394,
+                        0.5558678, 0.54954225], np.float32)
+GOLDEN_STD = np.array([0.15254009, 0.15522742, 0.14453574, 0.15716182,
+                       0.15212655, 0.15077585], np.float32)
 
 
 def _generate():
@@ -49,3 +55,15 @@ def test_generation_statistics_sane():
     assert (s > 0.01).all(), s
     # frames differ from each other (temporal conditioning has effect)
     assert np.abs(np.diff(m)).max() > 1e-5
+
+
+def test_generation_matches_recorded_golden():
+    """Numerical drift detector: recorded per-frame statistics at 1e-4.
+    Sensitivity check at record time: shifting the DDIM timestep schedule
+    by one index moved the means by 2.1e-3 — 20x this tolerance — so a
+    scheduler off-by-one fails the test."""
+    v = _generate()
+    m = v.mean(axis=(1, 2, 3))
+    s = v.std(axis=(1, 2, 3))
+    np.testing.assert_allclose(m, GOLDEN_MEAN, atol=1e-4)
+    np.testing.assert_allclose(s, GOLDEN_STD, atol=1e-4)
