@@ -106,25 +106,42 @@ def group_norm_init(channels: int, dtype=jnp.float32) -> Params:
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int,
                eps: float = 1e-5, barrier: bool = True,
-               mode: str = "fp32") -> jnp.ndarray:
+               mode: str = "fp32", fuse_silu: bool = False,
+               fused: bool = False) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis of an (..., C) tensor.
 
     Statistics are computed per (leading batch axis, group) over all other
     axes, in fp32 — matches torch.nn.GroupNorm on (N, C, *spatial) with our
     channels-last layout.
 
-    `barrier` (default on): materialize the output before the consumer.
-    Measured on v5e: letting XLA fuse GN statistics into a following conv
-    is catastrophic — GN+SiLU+conv3x3 at the UNet's top level runs 177 ms
-    fused vs 8.6 ms with the barrier (the conv alone is 18 ms). Set
-    barrier=False when the consumer is a matmul (LN+matmul fuses WELL and
-    a barrier there costs 40x).
+    `fused=True` routes the fp32 path through the Pallas kernel on TPU
+    (ops/groupnorm.py): 1-2 HBM reads + 1 write instead of XLA's 3+1.
+    Measured (BENCH_NOTES.md): a clear win in the VAE programs (prepare
+    1.44→0.72 s, decode 2.27→1.13 s) but a net LOSS inside the denoise
+    step — the opaque kernel breaks XLA's elementwise fusions around each
+    GroupNorm (+117 ms/step of standalone adds vs −134 ms of reductions) —
+    so the UNets keep the XLA path. `fuse_silu` folds the following SiLU
+    into the same pass (resnet GN→SiLU→conv chains) on either path.
+
+    `barrier` (default on): materialize the output before the consumer
+    (XLA fallback path only — the Pallas kernel is opaque to fusion
+    anyway). Measured on v5e: letting XLA fuse GN statistics into a
+    following conv is catastrophic — GN+SiLU+conv3x3 at the UNet's top
+    level runs 177 ms fused vs 8.6 ms with the barrier (the conv alone is
+    18 ms). Set barrier=False when the consumer is a matmul (LN+matmul
+    fuses WELL and a barrier there costs 40x).
 
     `mode`: "fp32" (default, torch-matching) normalizes and applies the
     affine in fp32; "bf16" keeps the centered/scaled tensor in the input
     dtype (faster, reduced precision). Explicit parameters — no ambient
     environment reads — so numerics are reproducible from the call site.
     """
+    if fused and mode == "fp32":
+        from mimo_tpu.ops.groupnorm import group_norm_fused
+        y = group_norm_fused(x, p["scale"], p["bias"], groups, eps,
+                             fuse_silu=fuse_silu)
+        if y is not None:
+            return y
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -145,6 +162,8 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
         y = y.reshape(x.shape)
         y = (y * p["scale"].astype(jnp.float32)
              + p["bias"].astype(jnp.float32)).astype(orig_dtype)
+    if fuse_silu:
+        y = y * jax.nn.sigmoid(y)
     if barrier:
         y = jax.lax.optimization_barrier(y)
     return y

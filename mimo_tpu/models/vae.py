@@ -50,7 +50,7 @@ def _attn_apply(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
     n, h, w, c = x.shape
     res = x
     y = L.group_norm(p["norm"], x, groups, _EPS,
-                     barrier=False)  # feeds matmuls (qkv projections)
+                     barrier=False, fused=True)  # feeds matmuls (qkv projections)
     t = y.reshape(n, h * w, c)
     q = L.linear(p["to_q"], t)
     k = L.linear(p["to_k"], t)
@@ -70,9 +70,9 @@ def _mid_init(key, channels: int, dtype) -> Params:
 
 
 def _mid_apply(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    x = resnet_apply(p["resnet1"], x, None, groups, _EPS)
+    x = resnet_apply(p["resnet1"], x, None, groups, _EPS, fused_gn=True)
     x = _attn_apply(p["attn"], x, groups)
-    return resnet_apply(p["resnet2"], x, None, groups, _EPS)
+    return resnet_apply(p["resnet2"], x, None, groups, _EPS, fused_gn=True)
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +148,7 @@ def encode_mean(p: Params, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = L.conv2d(enc["conv_in"], x, padding=1)
     for blk in enc["down"]:
         for rp in blk["resnets"]:
-            h = resnet_apply(rp, h, None, g, _EPS)
+            h = resnet_apply(rp, h, None, g, _EPS, fused_gn=True)
         if blk["downsample"] is not None:
             # diffusers Downsample2D: asymmetric (0,1) pad, VALID conv
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -157,8 +157,7 @@ def encode_mean(p: Params, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
                 padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
             h = h + blk["downsample"]["bias"].astype(h.dtype)
     h = _mid_apply(enc["mid"], h, g)
-    h = L.group_norm(enc["norm_out"], h, g, _EPS)
-    h = L.silu(h)
+    h = L.group_norm(enc["norm_out"], h, g, _EPS, fuse_silu=True, fused=True)
     h = L.conv2d(enc["conv_out"], h, padding=1)
     h = L.conv2d(p["quant_conv"], h, padding=0)
     mean = h[..., : cfg.latent_channels]
@@ -175,10 +174,9 @@ def decode(p: Params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     h = _mid_apply(dec["mid"], h, g)
     for blk in dec["up"]:
         for rp in blk["resnets"]:
-            h = resnet_apply(rp, h, None, g, _EPS)
+            h = resnet_apply(rp, h, None, g, _EPS, fused_gn=True)
         if blk["upsample"] is not None:
             h = L.upsample_nearest_2x(h)
             h = L.conv2d(blk["upsample"], h, padding=1)
-    h = L.group_norm(dec["norm_out"], h, g, _EPS)
-    h = L.silu(h)
+    h = L.group_norm(dec["norm_out"], h, g, _EPS, fuse_silu=True, fused=True)
     return L.conv2d(dec["conv_out"], h, padding=1)

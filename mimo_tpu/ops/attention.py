@@ -122,41 +122,69 @@ def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
-def _pick_t_blocks(sq: int, sk: int, d: int) -> Tuple[int, int]:
-    """Blocks for the transposed kernel. bq/bk must be 128-multiples (they
-    land on the lane axis). Prefer a single key block when the whole
-    working set (fp32 logits + bf16 p + K/V blocks + q/acc) fits in VMEM;
-    otherwise the largest 128-multiple divisor of the padded key length
-    under the budget."""
-    bq = min(512, -(-sq // _LANE) * _LANE)
-    sk_p = -(-sk // _LANE) * _LANE
+def _pick_t_blocks(sq: int, sk: int, inner: int,
+                   itemsize: int) -> Tuple[int, int]:
+    """Blocks for the natural-layout transposed-compute kernel. Blocks are
+    full-width (block, H·d), so the VMEM working set is dominated by the
+    double-buffered K/V blocks, their in-kernel transposes, and the fp32
+    logits tile. bq/bk land on the lane axis of the transposed compute ->
+    128-multiples. Prefer a bk that divides Sk (skips the in-kernel edge
+    masking)."""
+    bq = min(512, _ceil_to(sq, _LANE))
 
-    def fits(bk):
-        logits = bk * bq * 4 + bk * bq * 2          # s (f32) + p (bf16)
-        kv = 2 * (d + 1) * bk * 2                   # k, v blocks (bf16)
-        qacc = d * bq * 2 + (d + 1) * bq * 4        # q block + acc scratch
-        return logits + kv + qacc <= 13 * 1024 * 1024
+    def fits(bq, bk):
+        blocks = 2 * (bq + 2 * bk) * inner * itemsize   # double-buffered in
+        blocks += 2 * bq * inner * itemsize             # out
+        trans = 2 * bk * inner * itemsize               # kt, vt temporaries
+        scratch = bq * inner * (itemsize + 4)           # qt + acc
+        logits = bk * bq * (4 + itemsize)               # s (f32) + p
+        if sk % bk:
+            # ragged key edge: the in-kernel iota/where masking costs extra
+            # (bk, bq)-sized i32/f32 temporaries
+            logits += bk * bq * 8
+        # 15 MB: measured ceiling — (bq 512, bk 1792) on the hot shape
+        # compiles and is the fastest sweep point (52 ms / 46 TFLOP/s);
+        # (512, 2048) at 16.5 MB is rejected by Mosaic
+        return blocks + trans + scratch + logits <= 15 * 1024 * 1024
 
-    if fits(sk_p):
-        return bq, sk_p
-    best = _LANE
-    b = _LANE
-    while fits(b):
-        if sk_p % b == 0:
-            best = b
-        b += _LANE
-    return bq, best
+    while bq > _LANE and not fits(bq, _LANE):
+        bq -= _LANE
+    # bk is the sublane dim of the (bk, bq) logits and the lane dim of the
+    # in-kernel K/V transposes: the block constraint is only ÷8. Candidates
+    # are 128-multiples plus 8-multiple divisors of Sk (e.g. 1568 for the
+    # 6272/12544-key shapes).
+    sk_p = _ceil_to(sk, _LANE)
+    cap = min(sk_p, 2048)
+    cands = set(range(_LANE, cap + 1, _LANE))
+    cands.update(b for b in range(128, cap + 1, 8) if sk % b == 0)
+    best_any = _LANE
+    best_div = 0
+    for b in sorted(cands):
+        if not fits(bq, b):
+            continue
+        best_any = max(best_any, b)
+        if sk % b == 0:
+            best_div = b
+    # a dividing block skips the in-kernel edge masking; prefer it unless
+    # it is much smaller than the largest fitting block
+    return bq, best_div if best_div * 2 > best_any else best_any
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def flash_sdpa_transposed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           heads: int) -> jnp.ndarray:
-    """Transposed-layout flash (ops/flash_transposed.py): head_dim on
-    sublanes. Measured on the (24,8,6272,12544,d40) hot shape: 43 ms vs
-    75 ms for the standard-layout kernel (1.75x) — the PV matmul's output
-    no longer pads d to 128 lanes."""
+    """Transposed-compute flash (ops/flash_transposed.py): head_dim on
+    sublanes, natural (B, S, H·d) operands with in-VMEM block relayout.
+    Measured on the (24,8,6272,12544,d40) hot shape: 43 ms vs 75 ms for the
+    standard-layout kernel (1.75x; the PV matmul's output no longer pads d
+    to 128 lanes) — and no XLA-level (B,S,HD)->(BH,d,S) copies around the
+    call (those profiled at ~150 ms/denoise-step)."""
     from mimo_tpu.ops.flash_transposed import flash_sdpa_t
-    d = q.shape[2] // heads
-    bq, bk = _pick_t_blocks(q.shape[1], k.shape[1], d)
+    bq, bk = _pick_t_blocks(q.shape[1], k.shape[1], q.shape[2],
+                            q.dtype.itemsize)
     return flash_sdpa_t(q, k, v, heads, block_q=bq, block_k=bk)
 
 

@@ -1,15 +1,26 @@
-"""Fused single-pass GroupNorm(+SiLU) Pallas kernel.
+"""Fused GroupNorm(+SiLU) Pallas kernels.
 
 The XLA lowering of GroupNorm costs ~180 ms/denoise-step in the UNet
-(two convert_reduce passes + a normalize pass over each ~190 MB
-activation). This kernel does one HBM read + one HBM write per tensor:
-the whole (H*W, C) slab of one batch row sits in VMEM (4 MB at the UNet's
-top level), group statistics are computed as matmuls against a one-hot
-group-assignment matrix (MXU), and normalization (+ optional SiLU) happens
-in-register before the single store.
+(two convert_reduce passes for the statistics plus a normalize pass over
+each ~190 MB activation → 3 HBM reads + 1 write per tensor). Two kernels
+cut that:
 
-Falls back to the XLA implementation when the slab exceeds VMEM or when
-not running on TPU.
+- *resident*: the whole (S, C) slab of one batch row sits in VMEM;
+  statistics are computed as matmuls against a one-hot group-assignment
+  matrix (MXU) and normalization (+ optional SiLU) happens before the
+  single store — 1 read + 1 write. Pallas double-buffers both the input
+  and output block across the batch grid, so the slab budget is 4×slab
+  (+ fp32 row tiles); slabs beyond that fall through to
+- *two-phase*: grid (N, 2, S-blocks). Phase 0 streams row blocks and
+  accumulates per-channel sum/sum² in a persistent scratch; phase 1
+  revisits the same blocks and normalizes with coefficients computed once
+  per row — 2 reads + 1 write, any size (also covers the full-resolution
+  VAE decode GroupNorms).
+
+Numerics: statistics and the affine are fp32, matching
+torch.nn.GroupNorm / layers.group_norm(mode="fp32") (parity-tested in
+tests/test_groupnorm_kernel.py). Falls back to the XLA implementation
+(returns None) off-TPU or for channel counts not divisible by groups.
 """
 
 from __future__ import annotations
@@ -22,15 +33,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keep the per-row slab comfortably under VMEM (~16 MB/core)
-_VMEM_SLAB_LIMIT = 6 * 1024 * 1024
-
+# conservative per-core VMEM budget for kernel working sets
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 _ROW_TILE = 1024
 
 
+def _stats_coeffs(col_sum, col_sq, scale_ref, bias_ref, onehot, n_elems,
+                  eps: float):
+    """(1, C) channel sums -> (mul_c, add_c) fp32 normalization coefficients
+    via per-group reduce/scatter matmuls on the MXU."""
+    g_sum = jnp.dot(col_sum, onehot, preferred_element_type=jnp.float32)
+    g_sq = jnp.dot(col_sq, onehot, preferred_element_type=jnp.float32)
+    g_mean = g_sum / n_elems                          # (1, G)
+    g_var = g_sq / n_elems - g_mean * g_mean
+    g_inv = jax.lax.rsqrt(g_var + eps)
+    mean_c = jnp.dot(g_mean, onehot.T,
+                     preferred_element_type=jnp.float32)   # (1, C)
+    mul_c = (jnp.dot(g_inv, onehot.T,
+                     preferred_element_type=jnp.float32)
+             * scale_ref[0].astype(jnp.float32))
+    add_c = bias_ref[0].astype(jnp.float32) - mean_c * mul_c
+    return mul_c, add_c
+
+
 def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
                groups: int, eps: float, fuse_silu: bool):
+    """Resident variant: one grid step per batch row, slab in VMEM."""
     s, c = x_ref.shape[1], x_ref.shape[2]
     onehot = onehot_ref[:]                          # (C, G) fp32
 
@@ -44,23 +73,11 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
         col_sum = col_sum + jnp.sum(xa, axis=0, keepdims=True)
         col_sq = col_sq + jnp.sum(xa * xa, axis=0, keepdims=True)
 
-    # per-group stats via MXU: (1, C) @ (C, G)
-    g_sum = jnp.dot(col_sum, onehot, preferred_element_type=jnp.float32)
-    g_sq = jnp.dot(col_sq, onehot, preferred_element_type=jnp.float32)
     n = jnp.float32(s * (c // groups))
-    g_mean = g_sum / n                              # (1, G)
-    g_var = g_sq / n - g_mean * g_mean
-    g_inv = jax.lax.rsqrt(g_var + eps)
+    mul_c, add_c = _stats_coeffs(col_sum, col_sq, scale_ref, bias_ref,
+                                 onehot, n, eps)
 
-    # scatter group stats back to channels: (1, G) @ (G, C)
-    mean_c = jnp.dot(g_mean, onehot.T,
-                     preferred_element_type=jnp.float32)   # (1, C)
-    mul_c = (jnp.dot(g_inv, onehot.T,
-                     preferred_element_type=jnp.float32)
-             * scale_ref[0].astype(jnp.float32))
-    add_c = bias_ref[0].astype(jnp.float32) - mean_c * mul_c
-
-    # pass 2: normalize (+SiLU) tile-by-tile
+    # pass 2: normalize (+SiLU) tile-by-tile (VMEM-resident, no HBM reread)
     for lo in range(0, s, _ROW_TILE):
         hi = min(lo + _ROW_TILE, s)
         y = x_ref[0, lo:hi, :].astype(jnp.float32) * mul_c + add_c
@@ -69,47 +86,121 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
         out_ref[0, lo:hi, :] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "eps", "fuse_silu"))
+def _gn2_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
+                acc_ref, coef_ref, *, groups: int, eps: float,
+                fuse_silu: bool, s_actual: int, block_s: int):
+    """Two-phase variant. Grid (N, 2, nblk), k innermost:
+    phase 0 accumulates channel sums over the row blocks of one batch row,
+    phase 1 revisits the blocks and normalizes. acc/coef scratch persist
+    across the grid; the output block index is (i, k*p) so nothing is
+    flushed during phase 0."""
+    p = pl.program_id(1)
+    k = pl.program_id(2)
+    c = x_ref.shape[2]
+
+    @pl.when((p == 0) & (k == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p == 0)
+    def _accumulate():
+        xa = x_ref[0].astype(jnp.float32)           # (block_s, C)
+        if s_actual % block_s != 0:
+            rows = jax.lax.broadcasted_iota(jnp.int32, xa.shape, 0)
+            xa = jnp.where(rows + k * block_s < s_actual, xa, 0.0)
+        acc_ref[0:1] += jnp.sum(xa, axis=0, keepdims=True)
+        acc_ref[1:2] += jnp.sum(xa * xa, axis=0, keepdims=True)
+
+    @pl.when((p == 1) & (k == 0))
+    def _coefficients():
+        n = jnp.float32(s_actual * (c // groups))
+        mul_c, add_c = _stats_coeffs(acc_ref[0:1], acc_ref[1:2],
+                                     scale_ref, bias_ref, onehot_ref[:],
+                                     n, eps)
+        coef_ref[0:1] = mul_c
+        coef_ref[1:2] = add_c
+
+    @pl.when(p == 1)
+    def _normalize():
+        y = x_ref[0].astype(jnp.float32) * coef_ref[0:1] + coef_ref[1:2]
+        if fuse_silu:
+            y = y * jax.nn.sigmoid(y)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "fuse_silu",
+                                              "force_two_phase"))
 def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-               groups: int, eps: float, fuse_silu: bool) -> jnp.ndarray:
-    """x2d: (N, S, C) -> same. One grid step per batch row."""
+               groups: int, eps: float, fuse_silu: bool,
+               force_two_phase: bool = False) -> jnp.ndarray:
+    """x2d: (N, S, C) -> same."""
     n, s, c = x2d.shape
     onehot = jnp.zeros((c, groups), jnp.float32).at[
         jnp.arange(c), jnp.arange(c) // (c // groups)].set(1.0)
-    kernel = functools.partial(_gn_kernel, groups=groups, eps=eps,
-                               fuse_silu=fuse_silu)
+    scale = scale.reshape(1, c)
+    bias = bias.reshape(1, c)
+
+    slab = s * c * x2d.dtype.itemsize
+    tile = min(s, _ROW_TILE) * c * 4
+    if not force_two_phase and 4 * slab + 2 * tile <= _VMEM_BUDGET:
+        kernel = functools.partial(_gn_kernel, groups=groups, eps=eps,
+                                   fuse_silu=fuse_silu)
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((c, groups), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        )(x2d, scale, bias, onehot)
+
+    # two-phase: pick a row block so 4 block buffers + fp32 temps fit
+    block_s = max(8, min(_ceil_to(s, 8),
+                         (_VMEM_BUDGET // 16) // (c * x2d.dtype.itemsize)
+                         // 8 * 8))
+    nblk = -(-s // block_s)
+    kernel = functools.partial(_gn2_kernel, groups=groups, eps=eps,
+                               fuse_silu=fuse_silu, s_actual=s,
+                               block_s=block_s)
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, 2, nblk),
         in_specs=[
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, groups), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s, c), lambda i, p, k: (i, k, 0)),
+            pl.BlockSpec((1, c), lambda i, p, k: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, p, k: (0, 0)),
+            pl.BlockSpec((c, groups), lambda i, p, k: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_s, c), lambda i, p, k: (i, k * p, 0)),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-    )(x2d, scale.reshape(1, c), bias.reshape(1, c), onehot)
+        scratch_shapes=[
+            pltpu.VMEM((2, c), jnp.float32),
+            pltpu.VMEM((2, c), jnp.float32),
+        ],
+    )(x2d, scale, bias, onehot)
 
 
 def group_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      groups: int, eps: float,
                      fuse_silu: bool = False) -> Optional[jnp.ndarray]:
-    """Fused GN(+SiLU) over an (N, ..., C) tensor, or None when the shape
-    doesn't fit the kernel (caller falls back to XLA)."""
+    """Fused GN(+SiLU) over an (N, ..., C) tensor, or None when the kernel
+    doesn't apply (caller falls back to XLA)."""
     if jax.default_backend() != "tpu":
         return None
     n = x.shape[0]
     c = x.shape[-1]
-    s = x.size // (n * c)
-    if s * c * x.dtype.itemsize > _VMEM_SLAB_LIMIT:
+    if c % groups or c < groups:
         return None
-    if c % groups:
+    s = x.size // (n * c)
+    if s < 8:
         return None
     y = _gn_pallas(x.reshape(n, s, c), scale, bias, groups, eps, fuse_silu)
     return y.reshape(x.shape)

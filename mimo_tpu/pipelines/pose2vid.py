@@ -337,38 +337,6 @@ def denoise_one_step(params: Params, st: Pose2VideoStatic, ddim: DDIM,
     return ddim.step_v(v, step_idx, latents)
 
 
-class _AutoLayoutStep:
-    """Step executable compiled with AUTO input layouts.
-
-    Why: with default layouts the step executable transposes ~600 weight
-    tensors on every call — profiling showed the step was copy-bound
-    (~1.9 s/step of weight layout copies vs ~1.2 s compute). AUTO layouts
-    move that conversion to a single device_put of the UNet params.
-    """
-
-    def __init__(self, step_fn, den_params, cond, latents):
-        from jax.experimental.layout import Format
-        from jax._src.layout import AutoLayout
-
-        auto = Format(AutoLayout())
-        jstep = jax.jit(step_fn, in_shardings=(auto, auto, auto, auto))
-        self.compiled = jstep.lower(den_params, cond, latents,
-                                    jnp.asarray(0)).compile()
-        fmts, _ = self.compiled.input_formats
-        self.dp_fmt, self.cond_fmt, self.lat_fmt, self.idx_fmt = fmts
-        self.dp_opt = jax.tree.map(jax.device_put, den_params, self.dp_fmt)
-
-    def relay_cond(self, cond):
-        return jax.tree.map(jax.device_put, cond, self.cond_fmt)
-
-    def run(self, cond_opt, latents, num_steps: int):
-        lat = jax.device_put(latents, self.lat_fmt)
-        for i in range(num_steps):
-            lat = self.compiled(self.dp_opt, cond_opt, lat,
-                                jax.device_put(jnp.asarray(i), self.idx_fmt))
-        return lat
-
-
 def generate_host_loop(params: Params, st: Pose2VideoStatic,
                        ref_image, pose_video, bk_video, clip_pixels,
                        noise, jit_cache: Optional[dict] = None):
@@ -392,23 +360,14 @@ def generate_host_loop(params: Params, st: Pose2VideoStatic,
                             clip_pixels)
     latents = noise * ddim.init_noise_sigma
 
-    # AUTO-layout stepping measured no gain over plain jit on v5e (the
-    # per-step weight copies overlap compute) and its executable rejects
-    # device_put-relaid inputs on some leaves; disabled pending a fix.
-    use_auto = False
-    if use_auto:
-        if "step_auto" not in cache:
-            cache["step_auto"] = _AutoLayoutStep(
-                step_fn, params["denoising_unet"], cond, latents)
-        stepper: _AutoLayoutStep = cache["step_auto"]
-        latents = stepper.run(stepper.relay_cond(cond), latents,
-                              ddim.num_steps)
-    else:
-        if "step" not in cache:
-            cache["step"] = jax.jit(step_fn)
-        for i in range(ddim.num_steps):
-            latents = cache["step"](params["denoising_unet"], cond, latents,
-                                    jnp.asarray(i))
+    # AUTO-layout stepping was tried here and removed: it measured no gain
+    # over plain jit on v5e (per-step weight copies overlap compute; see
+    # BENCH_NOTES.md) and its executable rejected device_put-relaid inputs.
+    if "step" not in cache:
+        cache["step"] = jax.jit(step_fn)
+    for i in range(ddim.num_steps):
+        latents = cache["step"](params["denoising_unet"], cond, latents,
+                                jnp.asarray(i))
     if st.interpolation_factor > 1:
         from mimo_tpu.pipelines.interp import interpolate_latents
         latents = interpolate_latents(latents, st.interpolation_factor,

@@ -1,6 +1,7 @@
 """Fused Pallas GroupNorm kernel: numerics vs the XLA path (interpret mode
-on CPU; on-chip perf status tracked in BENCH_NOTES.md — currently parity
-with XLA at lvl1/2 shapes, so the model does not route through it yet)."""
+on CPU). Both variants covered: VMEM-resident (small slabs) and two-phase
+tiled (large slabs / full-res VAE shapes). On TPU, layers.group_norm
+routes the fp32 path through these kernels."""
 
 import numpy as np
 import pytest
@@ -12,13 +13,18 @@ from mimo_tpu.models import layers as L
 from mimo_tpu.ops import groupnorm as G
 
 
+def _xla_ref(x, scale, bias, groups, fuse_silu):
+    ref = L.group_norm({"scale": scale, "bias": bias}, x, groups, 1e-5)
+    return jax.nn.silu(ref) if fuse_silu else ref
+
+
 @pytest.mark.parametrize("shape,groups", [
     ((2, 35, 41, 320), 32),
     ((3, 8, 8, 64), 8),
     ((1, 130, 7, 256), 32),   # rows not a multiple of the tile
 ])
 @pytest.mark.parametrize("fuse_silu", [False, True])
-def test_kernel_matches_xla(shape, groups, fuse_silu):
+def test_resident_kernel_matches_xla(shape, groups, fuse_silu):
     rng = np.random.default_rng(0)
     c = shape[-1]
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
@@ -29,9 +35,47 @@ def test_kernel_matches_xla(shape, groups, fuse_silu):
     with pltpu.force_tpu_interpret_mode():
         y = G._gn_pallas(x.reshape(n, s, c), scale, bias, groups, 1e-5,
                          fuse_silu).reshape(shape)
-    ref = L.group_norm({"scale": scale, "bias": bias}, x, groups, 1e-5)
-    if fuse_silu:
-        ref = jax.nn.silu(ref)
+    ref = _xla_ref(x, scale, bias, groups, fuse_silu)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 35, 41, 320), 32),   # rows not a multiple of the row block
+    ((2, 16, 16, 64), 8),     # single row block (nblk == 1)
+    ((1, 130, 7, 256), 32),
+])
+@pytest.mark.parametrize("fuse_silu", [False, True])
+def test_two_phase_kernel_matches_xla(shape, groups, fuse_silu):
+    rng = np.random.default_rng(1)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    n = shape[0]
+    s = x.size // (n * c)
+    with pltpu.force_tpu_interpret_mode():
+        y = G._gn_pallas(x.reshape(n, s, c), scale, bias, groups, 1e-5,
+                         fuse_silu, force_two_phase=True).reshape(shape)
+    ref = _xla_ref(x, scale, bias, groups, fuse_silu)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+def test_two_phase_small_block(monkeypatch):
+    """Force multiple row blocks (the production regime for lvl0/VAE
+    shapes) by shrinking the VMEM budget."""
+    monkeypatch.setattr(G, "_VMEM_BUDGET", 512 * 1024)
+    rng = np.random.default_rng(2)
+    shape, groups = (2, 49, 41, 320), 32   # s=2009, block_s 64 -> 32 blocks
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    n = shape[0]
+    s = x.size // (n * c)
+    with pltpu.force_tpu_interpret_mode():
+        y = G._gn_pallas(x.reshape(n, s, c), scale, bias, groups, 1e-5,
+                         True, force_two_phase=True).reshape(shape)
+    ref = _xla_ref(x, scale, bias, groups, True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
 
 

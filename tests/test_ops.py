@@ -41,3 +41,40 @@ def test_dispatch_small_matches_manual():
 
 def test_flash_not_used_on_cpu():
     assert not A._flash_available()
+
+
+def _sdpa_oracle(q, k, v, heads):
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    d = inner // heads
+    qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    logits = (qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(d)).astype(np.float32)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    return (w @ vh).transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+
+def test_flash_nt_kernel_matches_oracle_interpret():
+    """Natural-layout transposed-compute kernel numerics (interpret mode),
+    including ragged Sq (edge q blocks) and ragged Sk (in-kernel key
+    masking + value zeroing)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mimo_tpu.ops.flash_transposed import flash_sdpa_t
+
+    rng = np.random.default_rng(1)
+    for (b, sq, sk, heads, d, bq, bk) in [
+        (2, 40, 72, 2, 8, 16, 32),     # ragged both: 40 = 2.5*16, 72 = 2.25*32
+        (1, 64, 64, 4, 8, 32, 64),     # exact blocks
+        (1, 24, 128, 1, 16, 24, 128),  # single blocks
+    ]:
+        q = rng.standard_normal((b, sq, heads * d)).astype(np.float32)
+        k = rng.standard_normal((b, sk, heads * d)).astype(np.float32)
+        v = rng.standard_normal((b, sk, heads * d)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_sdpa_t(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v), heads,
+                                          block_q=bq, block_k=bk))
+        want = _sdpa_oracle(q, k, v, heads)
+        np.testing.assert_allclose(got, want, atol=2e-5)

@@ -99,16 +99,25 @@ def main():
         return
     from jax.profiler import ProfileData
     pd = ProfileData.from_serialized_xspace(open(paths[-1], "rb").read())
-    totals = defaultdict(float)
+    totals = defaultdict(float)      # by base name (op class)
+    full = defaultdict(float)        # by full instruction name
     for plane in pd.planes:
         if "TPU" not in plane.name:
             continue
         for line in plane.lines:
+            # async lines (copy-start etc.) overcount; the XLA Ops line is
+            # the honest device-time attribution (BENCH_NOTES.md)
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 totals[ev.name.split(".")[0]] += ev.duration_ns / 1e6
-    print(f"2-step event sum: {sum(totals.values()):.0f} ms")
-    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:20]:
+                full[ev.name.split(" ")[0]] += ev.duration_ns / 1e6
+    print(f"2-step XLA-Ops sum: {sum(totals.values()):.0f} ms")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:16]:
         print(f"{ms:9.1f} ms  {name}")
+    print("--- top individual instructions ---")
+    for name, ms in sorted(full.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ms:9.1f} ms  {name[:140]}")
 
 
 if __name__ == "__main__":
