@@ -73,16 +73,19 @@ def resnet_init(key, c_in: int, c_out: int, temb_dim: Optional[int],
 
 
 def resnet_apply(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray],
-                 groups: int, eps: float) -> jnp.ndarray:
-    """x: (N, H, W, C); temb: (N, T) already per-sample."""
-    h = L.group_norm(p["norm1"], x, groups, eps)
-    h = L.silu(h)
+                 groups: int, eps: float,
+                 fused_gn: bool = False) -> jnp.ndarray:
+    """x: (N, H, W, C); temb: (N, T) already per-sample. `fused_gn` routes
+    GroupNorm through the Pallas kernel — a win in the VAE programs, a
+    loss inside the denoise step (see layers.group_norm)."""
+    h = L.group_norm(p["norm1"], x, groups, eps, fuse_silu=True,
+                     fused=fused_gn)
     h = L.conv2d(p["conv1"], h, padding=1)
     if temb is not None and "temb_proj" in p:
         t = L.linear(p["temb_proj"], L.silu(temb))
         h = h + t[:, None, None, :].astype(h.dtype)
-    h = L.group_norm(p["norm2"], h, groups, eps)
-    h = L.silu(h)
+    h = L.group_norm(p["norm2"], h, groups, eps, fuse_silu=True,
+                     fused=fused_gn)
     h = L.conv2d(p["conv2"], h, padding=1)
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x, padding=0)
@@ -256,7 +259,17 @@ def _temporal_attn(p_attn: Params, x_norm: jnp.ndarray, frames: int,
     the frame-axis contraction happens inside einsums; F is tiny (≤32) so
     the logits tensor (B, S, H, F, F) stays small.
     x_norm: (B, F, S, C) pre-normed (+PE already added). Returns same shape.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/temporal_attention.py) — projections + F×F attention + output
+    projection in one VMEM-resident pass; the einsum formulation below is
+    the CPU/fallback path (XLA pads its softmax intermediates to 128 lanes
+    on the F axis, ~150 ms/step at full size).
     """
+    from mimo_tpu.ops.temporal_attention import temporal_attention
+    fused = temporal_attention(p_attn, x_norm, frames, heads)
+    if fused is not None:
+        return fused
     b, f, s, c = x_norm.shape
     d = c // heads
     q = L.linear(p_attn["to_q"], x_norm).reshape(b, f, s, heads, d)
@@ -477,8 +490,7 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
 
     if skip_out_head:
         return h
-    h = L.group_norm(p["norm_out"], h, g, eps)
-    h = L.silu(h)
+    h = L.group_norm(p["norm_out"], h, g, eps, fuse_silu=True)
     return L.conv2d(p["conv_out"], h, padding=1)
 
 

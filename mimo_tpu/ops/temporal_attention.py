@@ -1,0 +1,190 @@
+"""Fused Pallas temporal attention for the motion modules.
+
+The motion module attends over the frame axis (F ≤ 32) at every spatial
+location — per (batch, head, s): an F×F attention. The XLA einsum path
+materializes the (B, H, F, F, S) logits in HBM and, worse, assigns the
+softmax intermediates a layout with F on the minor (lane) axis, padding
+24 → 128 lanes (5.3×): profiled at ~150-185 ms/denoise-step across the
+logits matmuls, softmax fusions, bf16 converts, and relayout copies
+(BENCH_NOTES.md round 2).
+
+This kernel keeps everything in VMEM per (batch, s-block) grid step and
+fuses the whole attention op:
+
+- q/k/v projections as (C,C)·(C, F·bs) MXU matmuls on the transposed
+  block (contraction over C on sublanes, N = F·bs lanes — fully utilized);
+- the F×F logits by ROTATION instead of gather: the transposed block's
+  lane axis is frame-major (f·bs + j), so `roll(kt, -r·bs, lanes)` aligns
+  every query frame f with key frame (f+r) mod F. F full-width
+  multiply + per-head segmented sublane reduces produce the logits for
+  diagonal r of every head at once — no unaligned slicing, no tiling;
+- softmax over the rotation axis on an (F, H, F·bs) fp32 value (s stays
+  on lanes — nothing pads);
+- PV as F rolled FMA accumulations, all heads at once;
+- the output projection (+bias) on the MXU.
+
+The only in-kernel transposes are one (F·bs, C) -> (C, F·bs) of the input
+block and one of the output. HBM traffic: 1 read of x, 1 write of the
+result — versus ~10 full-tensor round trips (q/k/v/out projections, fp32
+logits, softmax, converts) on the XLA path.
+
+Numerics match the einsum path (fp32 logits/softmax, bf16 PV operand) —
+validated in tests/test_temporal_attention.py (interpret mode, rolled
+indexing against a numpy oracle).
+
+Reference semantics: AnimateDiff VersatileAttention temporal mode
+(/root/reference/src/models/motion_module.py:146-184,361-374).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# calibrated against measured Mosaic pass/fail points on v5e:
+# c=320 bs=48 fails / bs=32 passes; c=640 bs=16 passes; c=1280 never fits
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _tattn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+                  *, frames: int, heads: int, out_dtype):
+    """One (batch, s-block) grid step: full temporal attention of all
+    frames/heads for a block of spatial positions.
+
+    x_ref/o_ref: (1, F, bs, C); weights: (C, C); bo: (1, C).
+    """
+    f = frames
+    _, _, bs, c = x_ref.shape
+    d = c // heads
+    fbs = f * bs
+
+    xt = x_ref[0].reshape(fbs, c).T                      # (C, F·bs)
+
+    # projections: contraction over C rides the MXU at full utilization
+    # (fp32 accumulation, results kept in the input dtype); the softmax
+    # scale and log2(e) fold into q (exp2-domain softmax)
+    def proj(w_ref):
+        y = jax.lax.dot_general(
+            w_ref[:], xt, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(xt.dtype)
+
+    qt = proj(wq_ref) * jnp.asarray(1.4426950408889634 / math.sqrt(d),
+                                    xt.dtype)
+    kt = proj(wk_ref)
+    vt = proj(wv_ref)
+
+    # logits by rotation: diagonal r pairs query frame f with key frame
+    # (f+r) mod F. One multiply + per-head segmented reduce per r, all
+    # heads at once. The softmax over r is unrolled on the F-long list of
+    # (H, F·bs) fp32 values — everything stays 2D (Mosaic rejects the
+    # equivalent 3D-stacked softmax in this context).
+    logits = []
+    for r in range(f):
+        # r == 0 skips the roll: Mosaic rejects the zero-width slice inside
+        # jnp.roll's concatenate lowering
+        ktr = kt if r == 0 else jnp.roll(kt, -r * bs, axis=1)
+        prod = (qt * ktr).astype(jnp.float32)
+        lr = jnp.sum(prod.reshape(heads, d, fbs), axis=1)      # (H, F·bs)
+        logits.append(lr)
+
+    m = functools.reduce(jnp.maximum, logits)                  # (H, F·bs)
+    ps = [jnp.exp2(lr - m) for lr in logits]
+    inv = 1.0 / functools.reduce(lambda a, b: a + b, ps)
+
+    # PV: o = sum_r w_r * roll(v, -r); each head's weight row broadcasts
+    # over its d sublanes so all heads accumulate together
+    acc = jnp.zeros((c, fbs), jnp.float32)
+    for r in range(f):
+        vtr = vt if r == 0 else jnp.roll(vt, -r * bs, axis=1)
+        wr = jnp.broadcast_to((ps[r] * inv)[:, None, :],
+                              (heads, d, fbs)).reshape(c, fbs)
+        acc = acc + wr * vtr.astype(jnp.float32)
+
+    out_t = jax.lax.dot_general(
+        wo_ref[:], acc.astype(xt.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (C, F·bs)
+    out_t = out_t + bo_ref[0].astype(jnp.float32)[:, None]
+    o_ref[0] = out_t.T.reshape(f, bs, c).astype(out_dtype)
+
+
+def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
+    """Largest multiple-of-8 s-block whose working set fits VMEM: the floor
+    is ~6 full-width (C, F·bs) values (x, q, k, v, acc, out) plus rolled
+    temporaries and the fp32 logits."""
+    heads_bytes = frames * (4 + itemsize)     # logits + weights rows per s
+
+    def cost(bs):
+        fbs = frames * bs
+        full_width = c * fbs
+        blocks = 4 * full_width * itemsize                # x/out double-buf
+        live = 4 * full_width * itemsize                  # xt, q, k, v
+        acc = full_width * 4
+        temps = 3 * full_width * itemsize                 # rolls/products
+        logits = heads_bytes * fbs * 8 // 8               # ~(F,H,F·bs)
+        weights = 4 * c * c * itemsize
+        return blocks + live + acc + temps + logits + weights
+
+    # F·bs must be a whole number of 128-lane vregs so the in-kernel lane
+    # rolls stay within the real (unpadded) lane extent
+    step = 128 // math.gcd(frames, 128)
+    step = max(step, 8)
+    bs = min(512, -(-s // step) * step)
+    while bs > step and cost(bs) > _VMEM_BUDGET:
+        bs -= step
+    if cost(bs) > _VMEM_BUDGET:
+        return 0          # nothing fits (e.g. 1280-ch weights alone ~13 MB)
+    return bs
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "heads"))
+def temporal_attention_fused(x_norm: jnp.ndarray, wq, wk, wv, wo, bo,
+                             frames: int, heads: int) -> jnp.ndarray:
+    """x_norm: (B, F, S, C), pre-normed with the positional encoding already
+    added. Weights: (C, C) each; bo: (C,). Returns to_out(attend(x)) of
+    shape (B, F, S, C) — the caller adds the residual."""
+    b, f, s, c = x_norm.shape
+    assert f == frames
+    bs = _pick_bs(s, c, frames, x_norm.dtype.itemsize)
+    grid = (b, -(-s // bs))
+    kernel = functools.partial(_tattn_kernel, frames=frames, heads=heads,
+                               out_dtype=x_norm.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, bs, c), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, f, bs, c), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x_norm.shape, x_norm.dtype),
+    )(x_norm, wq, wk, wv, wo, bo.reshape(1, c))
+
+
+def temporal_attention(p_attn, x_norm: jnp.ndarray, frames: int,
+                       heads: int):
+    """Dispatch: fused Pallas kernel on TPU, None otherwise (caller falls
+    back to the einsum formulation)."""
+    if jax.default_backend() != "tpu":
+        return None
+    c = x_norm.shape[-1]
+    if c % heads or (c // heads) % 8:
+        return None
+    if "bias" in p_attn["to_q"]:          # kernel assumes bias-free qkv
+        return None
+    if _pick_bs(x_norm.shape[2], c, frames, x_norm.dtype.itemsize) == 0:
+        return None                        # working set can't fit VMEM
+    return temporal_attention_fused(
+        x_norm, p_attn["to_q"]["kernel"], p_attn["to_k"]["kernel"],
+        p_attn["to_v"]["kernel"], p_attn["to_out"]["kernel"],
+        p_attn["to_out"].get("bias", jnp.zeros((c,), x_norm.dtype)),
+        frames, heads)
