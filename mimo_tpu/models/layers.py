@@ -107,7 +107,8 @@ def group_norm_init(channels: int, dtype=jnp.float32) -> Params:
 def group_norm(p: Params, x: jnp.ndarray, groups: int,
                eps: float = 1e-5, barrier: bool = True,
                mode: str = "fp32", fuse_silu: bool = False,
-               fused: bool = False) -> jnp.ndarray:
+               fused: bool = False,
+               row_add: "Optional[jnp.ndarray]" = None) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis of an (..., C) tensor.
 
     Statistics are computed per (leading batch axis, group) over all other
@@ -139,9 +140,15 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     if fused and mode == "fp32":
         from mimo_tpu.ops.groupnorm import group_norm_fused
         y = group_norm_fused(x, p["scale"], p["bias"], groups, eps,
-                             fuse_silu=fuse_silu)
+                             fuse_silu=fuse_silu, row_add=row_add)
         if y is not None:
             return y
+    if row_add is not None:
+        # (N, C) broadcast addend (resnet temb); fused in-kernel on the
+        # Pallas path, a plain elementwise add here
+        c = x.shape[-1]
+        x = x + row_add.reshape(
+            row_add.shape[0], *([1] * (x.ndim - 2)), c).astype(x.dtype)
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]

@@ -81,11 +81,11 @@ def resnet_apply(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray],
     h = L.group_norm(p["norm1"], x, groups, eps, fuse_silu=True,
                      fused=fused_gn)
     h = L.conv2d(p["conv1"], h, padding=1)
+    t = None
     if temb is not None and "temb_proj" in p:
         t = L.linear(p["temb_proj"], L.silu(temb))
-        h = h + t[:, None, None, :].astype(h.dtype)
     h = L.group_norm(p["norm2"], h, groups, eps, fuse_silu=True,
-                     fused=fused_gn)
+                     fused=fused_gn, row_add=t)
     h = L.conv2d(p["conv2"], h, padding=1)
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x, padding=0)
@@ -177,7 +177,7 @@ def spatial_transformer_apply(
     """
     n, hgt, wid, c = x.shape
     residual = x
-    h = L.group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6)
+    h = L.group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6, fused=True)
     h = L.conv2d(p["proj_in"], h, padding=0)
     tokens = h.reshape(n, hgt * wid, c)
 
@@ -295,7 +295,7 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
     b = n // frames
     residual = x
     h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6,
-                     barrier=False)  # feeds a matmul (proj_in)
+                     barrier=False, fused=True)  # feeds a matmul (proj_in)
     tokens = h.reshape(b, frames, hgt * wid, c)
     tokens = L.linear(p["proj_in"], tokens)
 
@@ -443,7 +443,7 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
     skips = [h]
     for blk in p["down"]:
         for j, rp in enumerate(blk["resnets"]):
-            h = resnet_apply(rp, h, temb, g, eps)
+            h = resnet_apply(rp, h, temb, g, eps, fused_gn=True)
             if blk["attns"] is not None:
                 h = spatial_transformer_apply(
                     blk["attns"][j], h, ctx, cfg,
@@ -459,20 +459,20 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
 
     # mid
     mid = p["mid"]
-    h = resnet_apply(mid["resnets"][0], h, temb, g, eps)
+    h = resnet_apply(mid["resnets"][0], h, temb, g, eps, fused_gn=True)
     h = spatial_transformer_apply(mid["attns"][0], h, ctx, cfg,
                                   bank_out=banks_out, bank_in=next_bank(),
                                   cfg_split=cfg_split)
     if mm and mid["motions"] is not None:
         h = motion_module_apply(mid["motions"][0], h, frames, cfg.motion)
-    h = resnet_apply(mid["resnets"][1], h, temb, g, eps)
+    h = resnet_apply(mid["resnets"][1], h, temb, g, eps, fused_gn=True)
 
     # up
     for blk in p["up"]:
         for j, rp in enumerate(blk["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_apply(rp, h, temb, g, eps)
+            h = resnet_apply(rp, h, temb, g, eps, fused_gn=True)
             if blk["attns"] is not None:
                 h = spatial_transformer_apply(
                     blk["attns"][j], h, ctx, cfg,
@@ -490,7 +490,7 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
 
     if skip_out_head:
         return h
-    h = L.group_norm(p["norm_out"], h, g, eps, fuse_silu=True)
+    h = L.group_norm(p["norm_out"], h, g, eps, fuse_silu=True, fused=True)
     return L.conv2d(p["conv_out"], h, padding=1)
 
 

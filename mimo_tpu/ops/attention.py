@@ -142,10 +142,10 @@ def _pick_t_blocks(sq: int, sk: int, inner: int,
             # ragged key edge: the in-kernel iota/where masking costs extra
             # (bk, bq)-sized i32/f32 temporaries
             logits += bk * bq * 8
-        # 15 MB: measured ceiling — (bq 512, bk 1792) on the hot shape
-        # compiles and is the fastest sweep point (52 ms / 46 TFLOP/s);
-        # (512, 2048) at 16.5 MB is rejected by Mosaic
-        return blocks + trans + scratch + logits <= 15 * 1024 * 1024
+        # the kernel raises the Mosaic scoped-VMEM limit to 100 MB; the
+        # working-set ceiling is the measured compile envelope (lvl1's
+        # best point (512, 3136) models at ~38 MB and compiles fine)
+        return blocks + trans + scratch + logits <= 40 * 1024 * 1024
 
     while bq > _LANE and not fits(bq, _LANE):
         bq -= _LANE
@@ -153,8 +153,10 @@ def _pick_t_blocks(sq: int, sk: int, inner: int,
     # in-kernel K/V transposes: the block constraint is only ÷8. Candidates
     # are 128-multiples plus 8-multiple divisors of Sk (e.g. 1568 for the
     # 6272/12544-key shapes).
+    # bk cap 3136: measured optimum on every step shape (bigger blocks
+    # regress — bk 4480 runs 38 TFLOP/s vs 3136's 55 on the hot shape)
     sk_p = _ceil_to(sk, _LANE)
-    cap = min(sk_p, 2048)
+    cap = min(sk_p, 3136)
     cands = set(range(_LANE, cap + 1, _LANE))
     cands.update(b for b in range(128, cap + 1, 8) if sk % b == 0)
     best_any = _LANE

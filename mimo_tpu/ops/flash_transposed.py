@@ -95,15 +95,21 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
         m_cur = jnp.max(s, axis=0, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)                         # (bk, bq) f32
+        # exp2 in the PV-operand dtype: the matmul rounds p to bf16 anyway
+        # and bf16 exp2 doubles VPU throughput on the biggest block tensor
+        p = jnp.exp2((s - m_new).astype(vt.dtype))      # (bk, bq)
         m_ref[h:h + 1] = m_new
-        l_ref[h:h + 1] = (l_ref[h:h + 1] * alpha
-                          + jnp.sum(p, axis=0, keepdims=True))
+        # ones-row appended to V: the PV matmul emits the softmax
+        # denominator as its last row with fp32 MXU accumulation (free —
+        # d pads to the next sublane multiple regardless)
+        vt_plus = jnp.concatenate(
+            [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
         pv = jax.lax.dot_general(
-            vt[sl], p.astype(vt.dtype),
+            vt_plus, p,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (d, bq)
-        acc_ref[sl] = acc_ref[sl] * alpha + pv
+            preferred_element_type=jnp.float32)         # (d+1, bq)
+        acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
+        l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
 
     @pl.when(j == nk - 1)
     def _emit():
@@ -146,6 +152,10 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((heads, block_q), jnp.float32),
             pltpu.VMEM((heads, block_q), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(q, k, v)
 
 

@@ -33,8 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# conservative per-core VMEM budget for kernel working sets
-_VMEM_BUDGET = 12 * 1024 * 1024
+# per-core VMEM budget for kernel working sets (the pallas_call raises the
+# Mosaic scoped-VMEM limit to 100 MB; 40 MB keeps headroom for pipelining —
+# the UNet lvl0 slab (48, 6272, 320) is resident at 18.7 MB)
+_VMEM_BUDGET = 40 * 1024 * 1024
 
 _ROW_TILE = 1024
 
@@ -57,11 +59,16 @@ def _stats_coeffs(col_sum, col_sq, scale_ref, bias_ref, onehot, n_elems,
     return mul_c, add_c
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
-               groups: int, eps: float, fuse_silu: bool):
-    """Resident variant: one grid step per batch row, slab in VMEM."""
+def _gn_kernel(x_ref, radd_ref, scale_ref, bias_ref, onehot_ref, out_ref,
+               *, groups: int, eps: float, fuse_silu: bool):
+    """Resident variant: one grid step per batch row, slab in VMEM.
+    radd_ref (1, 1, C): per-row broadcast addend folded into the input (the
+    resnet time-embedding add) — fused here instead of a standalone pass.
+    (Kept 3-D so the per-row block equals the array's trailing dims — Mosaic
+    requires block dims be (8,128)-divisible OR equal to the array's.)"""
     s, c = x_ref.shape[1], x_ref.shape[2]
     onehot = onehot_ref[:]                          # (C, G) fp32
+    radd = radd_ref[0].astype(jnp.float32)          # (1, C)
 
     # pass 1: accumulate per-channel sum / sum-of-squares in row tiles so
     # the fp32 upcast never materializes the whole slab
@@ -69,13 +76,15 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
     col_sq = jnp.zeros((1, c), jnp.float32)
     for lo in range(0, s, _ROW_TILE):
         hi = min(lo + _ROW_TILE, s)
-        xa = x_ref[0, lo:hi, :].astype(jnp.float32)
+        xa = x_ref[0, lo:hi, :].astype(jnp.float32) + radd
         col_sum = col_sum + jnp.sum(xa, axis=0, keepdims=True)
         col_sq = col_sq + jnp.sum(xa * xa, axis=0, keepdims=True)
 
     n = jnp.float32(s * (c // groups))
     mul_c, add_c = _stats_coeffs(col_sum, col_sq, scale_ref, bias_ref,
                                  onehot, n, eps)
+    # fold the row addend into the affine offset: (x+r)*mul+add
+    add_c = add_c + radd * mul_c
 
     # pass 2: normalize (+SiLU) tile-by-tile (VMEM-resident, no HBM reread)
     for lo in range(0, s, _ROW_TILE):
@@ -86,7 +95,7 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref, *,
         out_ref[0, lo:hi, :] = y.astype(out_ref.dtype)
 
 
-def _gn2_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
+def _gn2_kernel(x_ref, radd_ref, scale_ref, bias_ref, onehot_ref, out_ref,
                 acc_ref, coef_ref, *, groups: int, eps: float,
                 fuse_silu: bool, s_actual: int, block_s: int):
     """Two-phase variant. Grid (N, 2, nblk), k innermost:
@@ -104,7 +113,8 @@ def _gn2_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
 
     @pl.when(p == 0)
     def _accumulate():
-        xa = x_ref[0].astype(jnp.float32)           # (block_s, C)
+        xa = (x_ref[0].astype(jnp.float32)
+              + radd_ref[0].astype(jnp.float32))    # (block_s, C)
         if s_actual % block_s != 0:
             rows = jax.lax.broadcasted_iota(jnp.int32, xa.shape, 0)
             xa = jnp.where(rows + k * block_s < s_actual, xa, 0.0)
@@ -118,7 +128,7 @@ def _gn2_kernel(x_ref, scale_ref, bias_ref, onehot_ref, out_ref,
                                      scale_ref, bias_ref, onehot_ref[:],
                                      n, eps)
         coef_ref[0:1] = mul_c
-        coef_ref[1:2] = add_c
+        coef_ref[1:2] = add_c + radd_ref[0].astype(jnp.float32) * mul_c
 
     @pl.when(p == 1)
     def _normalize():
@@ -136,9 +146,24 @@ def _ceil_to(x: int, m: int) -> int:
                                               "force_two_phase"))
 def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                groups: int, eps: float, fuse_silu: bool,
-               force_two_phase: bool = False) -> jnp.ndarray:
-    """x2d: (N, S, C) -> same."""
+               force_two_phase: bool = False,
+               row_add=None) -> jnp.ndarray:
+    """x2d: (N, S, C) -> same. row_add (N, C), optional: per-batch-row
+    broadcast addend fused into the input (GN(x + row_add[:, None]))."""
     n, s, c = x2d.shape
+    # (N, 1, C): the per-row (1, 1, C) block then equals the array's trailing
+    # dims, which Mosaic accepts for any N (a (1, C) block of (N, C) is
+    # rejected when N > 1: leading block dim 1 is not 8-divisible)
+    if row_add is None:
+        row_add = jnp.zeros((n, 1, c), x2d.dtype)
+    else:
+        row_add = row_add.reshape(n, 1, c)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * 1,
+        vmem_limit_bytes=100 * 1024 * 1024)
+    params2 = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * 3,
+        vmem_limit_bytes=100 * 1024 * 1024)
     onehot = jnp.zeros((c, groups), jnp.float32).at[
         jnp.arange(c), jnp.arange(c) // (c // groups)].set(1.0)
     scale = scale.reshape(1, c)
@@ -154,13 +179,15 @@ def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
             grid=(n,),
             in_specs=[
                 pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, c), lambda i: (0, 0)),
                 pl.BlockSpec((1, c), lambda i: (0, 0)),
                 pl.BlockSpec((c, groups), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-        )(x2d, scale, bias, onehot)
+            compiler_params=params,
+        )(x2d, row_add, scale, bias, onehot)
 
     # two-phase: pick a row block so 4 block buffers + fp32 temps fit
     block_s = max(8, min(_ceil_to(s, 8),
@@ -175,6 +202,7 @@ def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         grid=(n, 2, nblk),
         in_specs=[
             pl.BlockSpec((1, block_s, c), lambda i, p, k: (i, k, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, p, k: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i, p, k: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, k: (0, 0)),
             pl.BlockSpec((c, groups), lambda i, p, k: (0, 0)),
@@ -185,14 +213,19 @@ def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
             pltpu.VMEM((2, c), jnp.float32),
             pltpu.VMEM((2, c), jnp.float32),
         ],
-    )(x2d, scale, bias, onehot)
+        compiler_params=params2,
+    )(x2d, row_add, scale, bias, onehot)
 
 
 def group_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      groups: int, eps: float,
-                     fuse_silu: bool = False) -> Optional[jnp.ndarray]:
-    """Fused GN(+SiLU) over an (N, ..., C) tensor, or None when the kernel
-    doesn't apply (caller falls back to XLA)."""
+                     fuse_silu: bool = False,
+                     row_add: Optional[jnp.ndarray] = None
+                     ) -> Optional[jnp.ndarray]:
+    """Fused GN(+SiLU) over an (N, ..., C) tensor, optionally of
+    x + row_add[:, None, ..., :] (the resnet time-embedding add fused into
+    the same pass). Returns None when the kernel doesn't apply (caller
+    falls back to XLA)."""
     if jax.default_backend() != "tpu":
         return None
     n = x.shape[0]
@@ -202,5 +235,6 @@ def group_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     s = x.size // (n * c)
     if s < 8:
         return None
-    y = _gn_pallas(x.reshape(n, s, c), scale, bias, groups, eps, fuse_silu)
+    y = _gn_pallas(x.reshape(n, s, c), scale, bias, groups, eps, fuse_silu,
+                   row_add=row_add)
     return y.reshape(x.shape)

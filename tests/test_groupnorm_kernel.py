@@ -79,6 +79,26 @@ def test_two_phase_small_block(monkeypatch):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize("two_phase", [False, True])
+def test_row_add_fused(two_phase):
+    """GN(x + row_add[:, None]) fused in-kernel (the resnet temb add)."""
+    rng = np.random.default_rng(3)
+    shape, groups = (3, 9, 5, 64), 8
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    radd = jnp.asarray(rng.standard_normal((3, c)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    n = shape[0]
+    s = x.size // (n * c)
+    with pltpu.force_tpu_interpret_mode():
+        y = G._gn_pallas(x.reshape(n, s, c), scale, bias, groups, 1e-5,
+                         True, force_two_phase=two_phase,
+                         row_add=radd).reshape(shape)
+    ref = _xla_ref(x + radd[:, None, None, :], scale, bias, groups, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
 def test_fallback_on_cpu():
     x = jnp.zeros((2, 4, 4, 64))
     out = G.group_norm_fused(x, jnp.ones(64), jnp.zeros(64), 8, 1e-5)
