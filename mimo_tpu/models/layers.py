@@ -108,7 +108,8 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
                eps: float = 1e-5, barrier: bool = True,
                mode: str = "fp32", fuse_silu: bool = False,
                fused: bool = False,
-               row_add: "Optional[jnp.ndarray]" = None) -> jnp.ndarray:
+               row_add: "Optional[jnp.ndarray]" = None,
+               snc: bool = False) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis of an (..., C) tensor.
 
     Statistics are computed per (leading batch axis, group) over all other
@@ -136,11 +137,16 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     affine in fp32; "bf16" keeps the centered/scaled tensor in the input
     dtype (faster, reduced precision). Explicit parameters — no ambient
     environment reads — so numerics are reproducible from the call site.
+
+    `snc` (fused path only): run the transposed-layout (S, N, C) kernel,
+    which matches XLA's conv-activation layout so the custom-call
+    operands bitcast instead of relayout-copying — pass True at
+    conv-adjacent sites (UNet resnets/transformers).
     """
     if fused and mode == "fp32":
         from mimo_tpu.ops.groupnorm import group_norm_fused
         y = group_norm_fused(x, p["scale"], p["bias"], groups, eps,
-                             fuse_silu=fuse_silu, row_add=row_add)
+                             fuse_silu=fuse_silu, row_add=row_add, snc=snc)
         if y is not None:
             return y
     if row_add is not None:

@@ -79,13 +79,13 @@ def resnet_apply(p: Params, x: jnp.ndarray, temb: Optional[jnp.ndarray],
     GroupNorm through the Pallas kernel — a win in the VAE programs, a
     loss inside the denoise step (see layers.group_norm)."""
     h = L.group_norm(p["norm1"], x, groups, eps, fuse_silu=True,
-                     fused=fused_gn)
+                     fused=fused_gn, snc=True)
     h = L.conv2d(p["conv1"], h, padding=1)
     t = None
     if temb is not None and "temb_proj" in p:
         t = L.linear(p["temb_proj"], L.silu(temb))
     h = L.group_norm(p["norm2"], h, groups, eps, fuse_silu=True,
-                     fused=fused_gn, row_add=t)
+                     fused=fused_gn, row_add=t, snc=True)
     h = L.conv2d(p["conv2"], h, padding=1)
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x, padding=0)
@@ -177,7 +177,8 @@ def spatial_transformer_apply(
     """
     n, hgt, wid, c = x.shape
     residual = x
-    h = L.group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6, fused=True)
+    h = L.group_norm(p["norm"], x, cfg.norm_num_groups, 1e-6, fused=True,
+                     snc=True)
     h = L.conv2d(p["proj_in"], h, padding=0)
     tokens = h.reshape(n, hgt * wid, c)
 
@@ -295,7 +296,7 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
     b = n // frames
     residual = x
     h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6,
-                     barrier=False, fused=True)  # feeds a matmul (proj_in)
+                     barrier=False, fused=True, snc=True)  # feeds a matmul (proj_in)
     tokens = h.reshape(b, frames, hgt * wid, c)
     tokens = L.linear(p["proj_in"], tokens)
 
@@ -490,7 +491,8 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
 
     if skip_out_head:
         return h
-    h = L.group_norm(p["norm_out"], h, g, eps, fuse_silu=True, fused=True)
+    h = L.group_norm(p["norm_out"], h, g, eps, fuse_silu=True, fused=True,
+                     snc=True)
     return L.conv2d(p["conv_out"], h, padding=1)
 
 

@@ -138,8 +138,103 @@ def _gn2_kernel(x_ref, radd_ref, scale_ref, bias_ref, onehot_ref, out_ref,
         out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _gn_snc_kernel(x_ref, radd_ref, scale_ref, bias_ref, onehot_ref,
+                   out_ref, acc_ref, coef_ref, *, groups: int, eps: float,
+                   fuse_silu: bool, s_actual: int, block_s: int):
+    """Transposed-layout two-phase variant: x is (S, N, C) — the logical
+    transpose of (N, S, C) that matches XLA's conv-activation layout
+    (physical minor-to-major C, N, S), so the operand/result reach the
+    custom call as bitcasts instead of the ~1-2 ms relayout copies that
+    bracket the (N, S, C) kernels inside the UNet resnets.
+
+    Grid (2, nblk), k innermost: phase 0 streams (block_s, N, C) blocks and
+    accumulates per-(N, C) sum/sum² in scratch; phase 1 revisits blocks and
+    normalizes with per-(N, C) coefficients computed once. Blocks take the
+    full (N, C) trailing extent (equal to the array dims — Mosaic-legal for
+    any N/C), so stats for every batch row accumulate in one pass."""
+    p = pl.program_id(0)
+    k = pl.program_id(1)
+    n, c = x_ref.shape[1], x_ref.shape[2]
+
+    @pl.when((p == 0) & (k == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p == 0)
+    def _accumulate():
+        xa = (x_ref[:].astype(jnp.float32)
+              + radd_ref[:][None].astype(jnp.float32))  # (block_s, N, C)
+        if s_actual % block_s != 0:
+            rows = jax.lax.broadcasted_iota(jnp.int32, xa.shape, 0)
+            xa = jnp.where(rows + k * block_s < s_actual, xa, 0.0)
+        acc_ref[0] += jnp.sum(xa, axis=0)
+        acc_ref[1] += jnp.sum(xa * xa, axis=0)
+
+    @pl.when((p == 1) & (k == 0))
+    def _coefficients():
+        n_elems = jnp.float32(s_actual * (c // groups))
+        radd = radd_ref[:].astype(jnp.float32)          # (N, C)
+        mul_c, add_c = _stats_coeffs(acc_ref[0], acc_ref[1],
+                                     scale_ref, bias_ref, onehot_ref[:],
+                                     n_elems, eps)
+        coef_ref[0] = mul_c
+        coef_ref[1] = add_c + radd * mul_c
+
+    @pl.when(p == 1)
+    def _normalize():
+        y = (x_ref[:].astype(jnp.float32) * coef_ref[0][None]
+             + coef_ref[1][None])
+        if fuse_silu:
+            y = y * jax.nn.sigmoid(y)
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "fuse_silu"))
+def _gn_pallas_snc(x_t: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                   groups: int, eps: float, fuse_silu: bool,
+                   row_add=None) -> jnp.ndarray:
+    """x_t: (S, N, C) -> same (see _gn_snc_kernel). row_add: (N, C) or
+    None."""
+    s, n, c = x_t.shape
+    if row_add is None:
+        row_add = jnp.zeros((n, c), x_t.dtype)
+    else:
+        row_add = row_add.reshape(n, c)
+    onehot = jnp.zeros((c, groups), jnp.float32).at[
+        jnp.arange(c), jnp.arange(c) // (c // groups)].set(1.0)
+    scale = scale.reshape(1, c)
+    bias = bias.reshape(1, c)
+    # 6 resident buffers (in/out double-buffered + fp32 temps)
+    per_row = n * c * (x_t.dtype.itemsize * 4 + 8)
+    block_s = max(1, min(s, _VMEM_BUDGET // per_row))
+    nblk = -(-s // block_s)
+    kernel = functools.partial(_gn_snc_kernel, groups=groups, eps=eps,
+                               fuse_silu=fuse_silu, s_actual=s,
+                               block_s=block_s)
+    return pl.pallas_call(
+        kernel,
+        grid=(2, nblk),
+        in_specs=[
+            pl.BlockSpec((block_s, n, c), lambda p, k: (k, 0, 0)),
+            pl.BlockSpec((n, c), lambda p, k: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, k: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, k: (0, 0)),
+            pl.BlockSpec((c, groups), lambda p, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_s, n, c), lambda p, k: (k * p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x_t.shape, x_t.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, n, c), jnp.float32),
+            pltpu.VMEM((2, n, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x_t, row_add, scale, bias, onehot)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "fuse_silu",
@@ -220,12 +315,19 @@ def _gn_pallas(x2d: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 def group_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      groups: int, eps: float,
                      fuse_silu: bool = False,
-                     row_add: Optional[jnp.ndarray] = None
-                     ) -> Optional[jnp.ndarray]:
+                     row_add: Optional[jnp.ndarray] = None,
+                     snc: bool = False) -> Optional[jnp.ndarray]:
     """Fused GN(+SiLU) over an (N, ..., C) tensor, optionally of
     x + row_add[:, None, ..., :] (the resnet time-embedding add fused into
     the same pass). Returns None when the kernel doesn't apply (caller
-    falls back to XLA)."""
+    falls back to XLA).
+
+    snc=True runs the (S, N, C) transposed-layout kernel: the logical
+    transposes on entry/exit are bitcasts when the producer/consumer keep
+    XLA's conv-activation layout (minor-to-major C, N, W, H), which is the
+    case for every GN inside the UNet resnet/transformer blocks — use it
+    for conv-adjacent sites, and the default row-major kernel for
+    matmul-adjacent ones (e.g. the VAE mid-block attention)."""
     if jax.default_backend() != "tpu":
         return None
     n = x.shape[0]
@@ -235,6 +337,11 @@ def group_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     s = x.size // (n * c)
     if s < 8:
         return None
+    if snc:
+        x_t = jnp.transpose(x.reshape(n, s, c), (1, 0, 2))
+        y = _gn_pallas_snc(x_t, scale, bias, groups, eps, fuse_silu,
+                           row_add=row_add)
+        return jnp.transpose(y, (1, 0, 2)).reshape(x.shape)
     y = _gn_pallas(x.reshape(n, s, c), scale, bias, groups, eps, fuse_silu,
                    row_add=row_add)
     return y.reshape(x.shape)

@@ -99,6 +99,38 @@ def test_row_add_fused(two_phase):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,groups,radd,small_block", [
+    ((2, 35, 41, 320), 32, False, False),
+    ((3, 9, 5, 64), 8, True, False),      # fused temb add
+    ((2, 49, 41, 320), 32, True, True),   # multiple S blocks
+    ((1, 130, 7, 256), 32, False, False), # ragged S vs block
+])
+@pytest.mark.parametrize("fuse_silu", [False, True])
+def test_snc_kernel_matches_xla(shape, groups, radd, small_block,
+                                fuse_silu, monkeypatch):
+    """Transposed-layout (S, N, C) kernel == XLA GN of the (N, S, C)
+    logical view (the conv-adjacent UNet sites)."""
+    if small_block:
+        monkeypatch.setattr(G, "_VMEM_BUDGET", 512 * 1024)
+    rng = np.random.default_rng(4)
+    c = shape[-1]
+    n = shape[0]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    row_add = (jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+               if radd else None)
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    s = x.size // (n * c)
+    x_t = jnp.transpose(x.reshape(n, s, c), (1, 0, 2))
+    with pltpu.force_tpu_interpret_mode():
+        y_t = G._gn_pallas_snc(x_t, scale, bias, groups, 1e-5, fuse_silu,
+                               row_add=row_add)
+    y = jnp.transpose(y_t, (1, 0, 2)).reshape(shape)
+    x_in = x if row_add is None else x + row_add[:, None, None, :]
+    ref = _xla_ref(x_in, scale, bias, groups, fuse_silu)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
 def test_fallback_on_cpu():
     x = jnp.zeros((2, 4, 4, 64))
     out = G.group_norm_fused(x, jnp.ones(64), jnp.zeros(64), 8, 1e-5)
