@@ -135,11 +135,8 @@ def _self_attn_banked(p_attn: Params, x_norm: jnp.ndarray,
     n = x_norm.shape[0]
 
     def with_bank(qs, ks, vs):
-        m = qs.shape[0]
-        kbx = jnp.broadcast_to(kb, (m,) + kb.shape[1:])
-        vbx = jnp.broadcast_to(vb, (m,) + vb.shape[1:])
-        return L.sdpa(qs, jnp.concatenate([ks, kbx], axis=1),
-                      jnp.concatenate([vs, vbx], axis=1), heads)
+        from mimo_tpu.ops.attention import dispatch_sdpa_banked
+        return dispatch_sdpa_banked(qs, ks, vs, kb, vb, heads)
 
     if cfg_split:
         h = n // 2
@@ -197,8 +194,13 @@ def spatial_transformer_apply(
         attn2 = L.mha(p["attn2"], norm2, ctx, cfg.num_heads)
     tokens = tokens + attn2
 
-    norm3 = L.layer_norm(p["norm3"], tokens)
-    tokens = tokens + L.geglu_ff(p["ff"], norm3)
+    from mimo_tpu.ops.ffn import ffn_ln_geglu_fused
+    ff_out = ffn_ln_geglu_fused(tokens, p["norm3"], p["ff"], snc=True)
+    if ff_out is not None:
+        tokens = ff_out
+    else:
+        norm3 = L.layer_norm(p["norm3"], tokens)
+        tokens = tokens + L.geglu_ff(p["ff"], norm3)
 
     h = tokens.reshape(n, hgt, wid, c)
     h = L.conv2d(p["proj_out"], h, padding=0)
@@ -310,8 +312,13 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
             normed = normed + pe
             tokens = tokens + _temporal_attn(a["attn"], normed, frames,
                                              mcfg.num_heads)
-        ff_in = L.layer_norm(blk["ff_norm"], tokens)
-        tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
+        from mimo_tpu.ops.ffn import ffn_ln_geglu_fused
+        ff_out = ffn_ln_geglu_fused(tokens, blk["ff_norm"], blk["ff"])
+        if ff_out is not None:
+            tokens = ff_out
+        else:
+            ff_in = L.layer_norm(blk["ff_norm"], tokens)
+            tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
 
     tokens = L.linear(p["proj_out"], tokens)
     return tokens.reshape(n, hgt, wid, c) + residual

@@ -190,6 +190,30 @@ def flash_sdpa_transposed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return flash_sdpa_t(q, k, v, heads, block_q=bq, block_k=bk)
 
 
+def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         kb: jnp.ndarray, vb: jnp.ndarray,
+                         heads: int) -> jnp.ndarray:
+    """Attention over [self (B, Sk1) ‖ bank (1, Sk2)] keys. On the flash
+    path the bank stays a batch-shared operand (no broadcast_to/concat
+    materialization — those profiled at ~16 ms/denoise-step of
+    pad_maximum fusions); elsewhere it falls back to the explicit concat.
+    """
+    d = q.shape[2] // heads
+    if (q.shape[1] >= FLASH_MIN_Q and _flash_available()
+            and d % 8 == 0 and d <= 160):
+        from mimo_tpu.ops.flash_transposed import flash_attention_nt_bank
+        bq, bk = _pick_t_blocks(q.shape[1], max(k.shape[1], kb.shape[1]),
+                                q.shape[2], q.dtype.itemsize)
+        return flash_attention_nt_bank(q, k, v, kb, vb, heads,
+                                       sm_scale=1.0 / math.sqrt(d),
+                                       block_q=bq, block_k=bk)
+    m = q.shape[0]
+    kbx = jnp.broadcast_to(kb, (m,) + kb.shape[1:])
+    vbx = jnp.broadcast_to(vb, (m,) + vb.shape[1:])
+    return dispatch_sdpa(q, jnp.concatenate([k, kbx], axis=1),
+                         jnp.concatenate([v, vbx], axis=1), heads)
+
+
 def dispatch_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   heads: int) -> jnp.ndarray:
     """Entry used by models.layers.sdpa."""

@@ -167,3 +167,123 @@ def flash_sdpa_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d = q.shape[2] // heads
     return flash_attention_nt(q, k, v, heads, sm_scale=1.0 / math.sqrt(d),
                               block_q=block_q, block_k=block_k)
+
+
+def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
+                      qt_ref, acc_ref, m_ref, l_ref,
+                      *, heads: int, sk1: int, sk2: int, block_k: int,
+                      nk1: int, sm_scale: float, out_dtype):
+    """Two-segment variant of _flash_nt_kernel: the key/value sequence is
+    the concatenation [self (B, Sk1) ‖ bank (1, Sk2)] WITHOUT materializing
+    it — the reference-attention bank (ReferenceAttentionControl concat,
+    reference src/models/mutual_self_attention.py:107-126) is passed as a
+    separate batch-shared operand whose blocks every batch row reads
+    directly. Grid k-dim covers nk1 self blocks then nk2 bank blocks; the
+    online-softmax state carries across the segment switch unchanged."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    hd = q_ref.shape[2]
+    d = hd // heads
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        qt_ref[:] = (q_ref[0].T
+                     * jnp.asarray(sm_scale * 1.4426950408889634,
+                                   q_ref.dtype))
+
+    in_self = j < nk1
+    k_blk = jnp.where(in_self, k_ref[0], kb_ref[0])
+    v_blk = jnp.where(in_self, v_ref[0], vb_ref[0])
+
+    need_mask = (sk1 % block_k != 0) or (sk2 % block_k != 0)
+    if need_mask:
+        base = jnp.where(in_self, j, j - nk1) * block_k
+        limit = jnp.where(in_self, sk1, sk2)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        valid = rows + base < limit                     # (bk, 1)
+        v_blk = jnp.where(valid, v_blk, 0)
+
+    kt = k_blk.T                                        # (H·d, bk)
+    vt = v_blk.T
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            kt[sl], qt_ref[sl], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if need_mask:
+            s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[h:h + 1]
+        m_cur = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2((s - m_new).astype(vt.dtype))
+        m_ref[h:h + 1] = m_new
+        vt_plus = jnp.concatenate(
+            [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
+        pv = jax.lax.dot_general(
+            vt_plus, p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
+        l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
+
+    @pl.when(j == nk - 1)
+    def _emit():
+        ot = jnp.concatenate(
+            [acc_ref[h * d:(h + 1) * d] / l_ref[h:h + 1]
+             for h in range(heads)], axis=0)
+        o_ref[0] = ot.T.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k",
+                                             "sm_scale"))
+def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            kb: jnp.ndarray, vb: jnp.ndarray, heads: int,
+                            sm_scale: float, block_q: int = 256,
+                            block_k: int = 1024) -> jnp.ndarray:
+    """Attention over [self ‖ bank] keys without concatenation.
+    q/k/v: (B, Sq|Sk1, H·d); kb/vb: (1, Sk2, H·d) shared by every batch
+    row. Exact (online softmax across both segments)."""
+    b, sq, inner = q.shape
+    sk1 = k.shape[1]
+    sk2 = kb.shape[1]
+    nk1 = -(-sk1 // block_k)
+    nk2 = -(-sk2 // block_k)
+
+    grid = (b, -(-sq // block_q), nk1 + nk2)
+    kernel = functools.partial(
+        _flash_nt2_kernel, heads=heads, sk1=sk1, sk2=sk2, block_k=block_k,
+        nk1=nk1, sm_scale=sm_scale, out_dtype=q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, inner),
+                         lambda b, i, j: (b, jnp.minimum(j, nk1 - 1), 0)),
+            pl.BlockSpec((1, block_k, inner),
+                         lambda b, i, j: (b, jnp.minimum(j, nk1 - 1), 0)),
+            pl.BlockSpec((1, block_k, inner),
+                         lambda b, i, j: (0, jnp.maximum(j - nk1, 0), 0)),
+            pl.BlockSpec((1, block_k, inner),
+                         lambda b, i, j: (0, jnp.maximum(j - nk1, 0), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, inner),
+                               lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((inner, block_q), q.dtype),
+            pltpu.VMEM((inner, block_q), jnp.float32),
+            pltpu.VMEM((heads, block_q), jnp.float32),
+            pltpu.VMEM((heads, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, kb, vb)

@@ -1,0 +1,61 @@
+"""Fused LN+GEGLU-FF Pallas kernel vs the unfused layers path (interpret
+mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mimo_tpu.models import layers as L
+from mimo_tpu.ops import ffn as FFN
+
+
+def _make(shape, dim, mult, seed):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, shape, jnp.float32)
+    ln_p = {"scale": jax.random.normal(k2, (dim,), jnp.float32),
+            "bias": jax.random.normal(k3, (dim,), jnp.float32)}
+    ff_p = L.geglu_ff_init(k2, dim, mult=mult, dtype=jnp.float32)
+    return x, ln_p, ff_p
+
+
+def _ref(x, ln_p, ff_p):
+    return x + L.geglu_ff(ff_p, L.layer_norm(ln_p, x))
+
+
+@pytest.mark.parametrize("shape,mult", [
+    ((3, 40, 64), 2),        # 3-D tokens, rows not a block multiple
+    ((2, 5, 24, 128), 2),    # 4-D motion-module tokens
+])
+def test_ffn_nsc_matches_reference(shape, mult):
+    x, ln_p, ff_p = _make(shape, shape[-1], mult, 0)
+    with pltpu.force_tpu_interpret_mode():
+        r = x.size // shape[-1]
+        y = FFN._ffn_pallas_nsc(
+            x.reshape(r, shape[-1]), ln_p["scale"], ln_p["bias"],
+            ff_p["proj_in"]["kernel"], ff_p["proj_in"]["bias"],
+            ff_p["proj_out"]["kernel"], ff_p["proj_out"]["bias"],
+            1e-5).reshape(shape)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_ref(x, ln_p, ff_p)),
+                               atol=2e-4)
+
+
+def test_ffn_snc_matches_reference():
+    shape, mult = (5, 40, 64), 2
+    x, ln_p, ff_p = _make(shape, shape[-1], mult, 1)
+    with pltpu.force_tpu_interpret_mode():
+        x_t = jnp.transpose(x, (1, 0, 2))
+        y_t = FFN._ffn_pallas_snc(
+            x_t, ln_p["scale"], ln_p["bias"],
+            ff_p["proj_in"]["kernel"], ff_p["proj_in"]["bias"],
+            ff_p["proj_out"]["kernel"], ff_p["proj_out"]["bias"], 1e-5)
+        y = jnp.transpose(y_t, (1, 0, 2))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_ref(x, ln_p, ff_p)),
+                               atol=2e-4)
+
+
+def test_fallback_on_cpu():
+    x, ln_p, ff_p = _make((2, 16, 64), 64, 2, 2)
+    assert FFN.ffn_ln_geglu_fused(x, ln_p, ff_p) is None

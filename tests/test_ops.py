@@ -78,3 +78,33 @@ def test_flash_nt_kernel_matches_oracle_interpret():
                                           block_q=bq, block_k=bk))
         want = _sdpa_oracle(q, k, v, heads)
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_nt_bank_kernel_matches_oracle_interpret():
+    """Two-segment (self ‖ batch-shared bank) kernel == oracle on the
+    explicit concat, including ragged self and bank segments."""
+    import math
+    from jax.experimental.pallas import tpu as pltpu
+    from mimo_tpu.ops.flash_transposed import flash_attention_nt_bank
+
+    rng = np.random.default_rng(2)
+    for (b, sq, sk1, sk2, heads, d, bq, bk) in [
+        (2, 40, 72, 40, 2, 8, 16, 32),   # both segments ragged
+        (1, 64, 64, 64, 4, 8, 32, 64),   # exact blocks
+        (2, 32, 32, 96, 2, 8, 16, 32),   # bank longer than self
+    ]:
+        q = rng.standard_normal((b, sq, heads * d)).astype(np.float32)
+        k = rng.standard_normal((b, sk1, heads * d)).astype(np.float32)
+        v = rng.standard_normal((b, sk1, heads * d)).astype(np.float32)
+        kb = rng.standard_normal((1, sk2, heads * d)).astype(np.float32)
+        vb = rng.standard_normal((1, sk2, heads * d)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_nt_bank(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(kb), jnp.asarray(vb), heads,
+                sm_scale=1.0 / math.sqrt(d), block_q=bq, block_k=bk))
+        kcat = np.concatenate([k, np.broadcast_to(kb, (b,) + kb.shape[1:])], 1)
+        vcat = np.concatenate([v, np.broadcast_to(vb, (b,) + vb.shape[1:])], 1)
+        want = _sdpa_oracle(q, kcat, vcat, heads)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
