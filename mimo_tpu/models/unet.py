@@ -113,6 +113,41 @@ def spatial_transformer_init(key, channels: int, ctx_dim: int,
     }
 
 
+def _attn_banked_qkv(p_attn: Params, q: jnp.ndarray, k: jnp.ndarray,
+                     v: jnp.ndarray, bank: Optional[jnp.ndarray],
+                     heads: int, cfg_split: bool,
+                     residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Banked attention core over pre-projected q/k/v (N, S, inner).
+    With `residual`, returns residual + to_out(attn) (the out-projection
+    and skip fused into one Pallas GEMM on TPU)."""
+    if bank is None:
+        o = L.sdpa(q, k, v, heads)
+    else:
+        from mimo_tpu.ops.attention import (dispatch_sdpa,
+                                            dispatch_sdpa_banked)
+        kb = L.linear(p_attn["to_k"], bank[None])  # (1, Lb, inner)
+        vb = L.linear(p_attn["to_v"], bank[None])
+        n = q.shape[0]
+
+        if cfg_split:
+            # batch windows instead of slices: a slice feeding a pallas
+            # call materializes a copy (~16 ms/step across the layers)
+            h = n // 2
+            o_unc = dispatch_sdpa(q, k, v, heads, batch=(0, h))
+            o_cond = dispatch_sdpa_banked(q, k, v, kb, vb, heads,
+                                          batch=(h, h))
+            o = jnp.concatenate([o_unc, o_cond], axis=0)
+        else:
+            o = dispatch_sdpa_banked(q, k, v, kb, vb, heads)
+    if residual is None:
+        return L.linear(p_attn["to_out"], o)
+    from mimo_tpu.ops.ffn import matmul_bias_residual
+    out = matmul_bias_residual(o, p_attn["to_out"], residual)
+    if out is not None:
+        return out
+    return residual + L.linear(p_attn["to_out"], o)
+
+
 def _self_attn_banked(p_attn: Params, x_norm: jnp.ndarray,
                       bank: Optional[jnp.ndarray], heads: int,
                       cfg_split: bool) -> jnp.ndarray:
@@ -126,26 +161,7 @@ def _self_attn_banked(p_attn: Params, x_norm: jnp.ndarray,
     q = L.linear(p_attn["to_q"], x_norm)
     k = L.linear(p_attn["to_k"], x_norm)
     v = L.linear(p_attn["to_v"], x_norm)
-    if bank is None:
-        o = L.sdpa(q, k, v, heads)
-        return L.linear(p_attn["to_out"], o)
-
-    kb = L.linear(p_attn["to_k"], bank[None])  # (1, Lb, inner)
-    vb = L.linear(p_attn["to_v"], bank[None])
-    n = x_norm.shape[0]
-
-    def with_bank(qs, ks, vs):
-        from mimo_tpu.ops.attention import dispatch_sdpa_banked
-        return dispatch_sdpa_banked(qs, ks, vs, kb, vb, heads)
-
-    if cfg_split:
-        h = n // 2
-        o_unc = L.sdpa(q[:h], k[:h], v[:h], heads)
-        o_cond = with_bank(q[h:], k[h:], v[h:])
-        o = jnp.concatenate([o_unc, o_cond], axis=0)
-    else:
-        o = with_bank(q, k, v)
-    return L.linear(p_attn["to_out"], o)
+    return _attn_banked_qkv(p_attn, q, k, v, bank, heads, cfg_split)
 
 
 def _cross_attn_single_token(p_attn: Params, x: jnp.ndarray,
@@ -180,12 +196,22 @@ def spatial_transformer_apply(
     tokens = h.reshape(n, hgt * wid, c)
 
     # --- basic transformer block ---
-    norm1 = L.layer_norm(p["norm1"], tokens)
-    if bank_out is not None:
-        bank_out.append(norm1)
-    attn1 = _self_attn_banked(p["attn1"], norm1, bank_in, cfg.num_heads,
-                              cfg_split)
-    tokens = tokens + attn1
+    from mimo_tpu.ops.ffn import qkv_ln_fused
+    fused_qkv = None if bank_out is not None else \
+        qkv_ln_fused(tokens, p["norm1"], p["attn1"])
+    if fused_qkv is not None:
+        q, kk, vv = fused_qkv
+        tokens = _attn_banked_qkv(p["attn1"], q, kk, vv, bank_in,
+                                  cfg.num_heads, cfg_split,
+                                  residual=tokens)
+    else:
+        # reference-write mode needs norm1 materialized for the bank
+        norm1 = L.layer_norm(p["norm1"], tokens)
+        if bank_out is not None:
+            bank_out.append(norm1)
+        attn1 = _self_attn_banked(p["attn1"], norm1, bank_in, cfg.num_heads,
+                                  cfg_split)
+        tokens = tokens + attn1
 
     norm2 = L.layer_norm(p["norm2"], tokens)
     if ctx.shape[1] == 1:
@@ -304,8 +330,16 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
 
     pe = _temporal_pe(frames, c, tokens.dtype)[None, :, None, :]
 
+    from mimo_tpu.ops.temporal_attention import temporal_attention_ln
     for blk in p["blocks"]:
         for a in blk["attns"]:
+            # fully-fused chain: tokens + attn(LN(tokens) + pe) in one
+            # kernel pass (LN stats + PE add + residual ride along)
+            fused = temporal_attention_ln(a["attn"], a["norm"], pe[0, :, 0],
+                                          tokens, frames, mcfg.num_heads)
+            if fused is not None:
+                tokens = fused
+                continue
             normed = L.layer_norm(a["norm"], tokens)
             # PE is added to the *normed* states before qkv
             # (reference motion_module.py:361-368)

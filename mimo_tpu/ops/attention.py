@@ -176,27 +176,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def flash_sdpa_transposed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          heads: int) -> jnp.ndarray:
-    """Transposed-compute flash (ops/flash_transposed.py): head_dim on
-    sublanes, natural (B, S, H·d) operands with in-VMEM block relayout.
-    Measured on the (24,8,6272,12544,d40) hot shape: 43 ms vs 75 ms for the
-    standard-layout kernel (1.75x; the PV matmul's output no longer pads d
-    to 128 lanes) — and no XLA-level (B,S,HD)->(BH,d,S) copies around the
-    call (those profiled at ~150 ms/denoise-step)."""
-    from mimo_tpu.ops.flash_transposed import flash_sdpa_t
-    bq, bk = _pick_t_blocks(q.shape[1], k.shape[1], q.shape[2],
-                            q.dtype.itemsize)
-    return flash_sdpa_t(q, k, v, heads, block_q=bq, block_k=bk)
-
-
 def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         kb: jnp.ndarray, vb: jnp.ndarray,
-                         heads: int) -> jnp.ndarray:
+                         kb: jnp.ndarray, vb: jnp.ndarray, heads: int,
+                         batch: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
     """Attention over [self (B, Sk1) ‖ bank (1, Sk2)] keys. On the flash
     path the bank stays a batch-shared operand (no broadcast_to/concat
     materialization — those profiled at ~16 ms/denoise-step of
     pad_maximum fusions); elsewhere it falls back to the explicit concat.
+
+    batch=(start, count): operate on a batch window of q/k/v in place —
+    the flash path reads it via index-map offsets (an outside slice
+    feeding a pallas call materializes a copy), the fallback slices.
     """
     d = q.shape[2] // heads
     if (q.shape[1] >= FLASH_MIN_Q and _flash_available()
@@ -206,7 +196,12 @@ def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                 q.shape[2], q.dtype.itemsize)
         return flash_attention_nt_bank(q, k, v, kb, vb, heads,
                                        sm_scale=1.0 / math.sqrt(d),
-                                       block_q=bq, block_k=bk)
+                                       block_q=bq, block_k=bk,
+                                       batch_start=batch[0],
+                                       batch_count=batch[1])
+    if batch != (0, 0):
+        b0, bc = batch
+        q, k, v = q[b0:b0 + bc], k[b0:b0 + bc], v[b0:b0 + bc]
     m = q.shape[0]
     kbx = jnp.broadcast_to(kb, (m,) + kb.shape[1:])
     vbx = jnp.broadcast_to(vb, (m,) + vb.shape[1:])
@@ -215,16 +210,30 @@ def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def dispatch_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  heads: int) -> jnp.ndarray:
-    """Entry used by models.layers.sdpa."""
+                  heads: int,
+                  batch: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    """Entry used by models.layers.sdpa. batch=(start, count) selects a
+    batch window in place on the transposed-flash path (see
+    dispatch_sdpa_banked); other paths slice."""
     if q.shape[1] >= FLASH_MIN_Q and _flash_available():
         d = q.shape[2] // heads
         # the transposed layout only wins when d would pad heavily on the
         # lane axis (UNet heads: 40/80/160); large-d attention (VAE's
         # single-head d=512 mid block) keeps the standard kernel
         if d % 8 == 0 and d <= 160:
-            return flash_sdpa_transposed(q, k, v, heads)
+            from mimo_tpu.ops.flash_transposed import flash_attention_nt
+            bq, bk = _pick_t_blocks(q.shape[1], k.shape[1], q.shape[2],
+                                    q.dtype.itemsize)
+            return flash_attention_nt(q, k, v, heads,
+                                      sm_scale=1.0 / math.sqrt(d),
+                                      block_q=bq, block_k=bk,
+                                      batch_start=batch[0],
+                                      batch_count=batch[1])
+        if batch != (0, 0):
+            q, k, v = (x[batch[0]:batch[0] + batch[1]] for x in (q, k, v))
         return flash_sdpa(q, k, v, heads)
+    if batch != (0, 0):
+        q, k, v = (x[batch[0]:batch[0] + batch[1]] for x in (q, k, v))
     b, sq, inner = q.shape
     sk = k.shape[1]
     d = inner // heads

@@ -181,6 +181,121 @@ def _ffn_pallas_snc(x_t, scale, bias, wu, bu, wd, bd, eps: float):
       bu.reshape(1, 2 * inner), wd, bd.reshape(1, c))
 
 
+def _qkv_ln_kernel(x_ref, scale_ref, bias_ref, w_ref, q_ref, k_ref, v_ref,
+                   *, eps: float):
+    """(bm, C) block -> LN (fp32) -> one (C, 3C) GEMM -> q/k/v outputs.
+    Removes the LN stats pass and runs the projection at Pallas-GEMM rate
+    (~130 vs ~70 TFLOP/s for XLA's fusion of the same dot)."""
+    xa = x_ref[:].astype(jnp.float32)
+    c = jnp.float32(xa.shape[1])
+    mean = jnp.sum(xa, axis=1, keepdims=True) / c
+    var = jnp.sum(xa * xa, axis=1, keepdims=True) / c - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    ln = ((xa - mean) * inv * scale_ref[:].astype(jnp.float32)
+          + bias_ref[:].astype(jnp.float32)).astype(q_ref.dtype)
+    out = jax.lax.dot_general(
+        ln, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    inner = q_ref.shape[1]
+    q_ref[:] = out[:, :inner]
+    k_ref[:] = out[:, inner:2 * inner]
+    v_ref[:] = out[:, 2 * inner:]
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _qkv_ln_pallas(x2d, scale, bias, w3, eps: float):
+    r, c = x2d.shape
+    inner = w3.shape[1] // 3
+    bm = min(512, _ceil8(r))
+    nblk = -(-r // bm)
+    out_sd = jax.ShapeDtypeStruct((r, inner), x2d.dtype)
+    return pl.pallas_call(
+        functools.partial(_qkv_ln_kernel, eps=eps),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * inner), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bm, inner), lambda i: (i, 0))] * 3,
+        out_shape=[out_sd, out_sd, out_sd],
+        compiler_params=_PARAMS,
+    )(x2d, scale.reshape(1, c), bias.reshape(1, c), w3)
+
+
+def qkv_ln_fused(x: jnp.ndarray, ln_p, attn_p,
+                 eps: float = 1e-5) -> Optional[tuple]:
+    """(q, k, v) = to_{q,k,v}(LN(x)) over an (N, S, C) token tensor via a
+    single fused kernel, or None when it doesn't apply (caller falls back
+    to layer_norm + three linears). to_q/to_k/to_v must be bias-free
+    (diffusers Attention convention — layers.mha_init)."""
+    if jax.default_backend() != "tpu":
+        return None
+    if any("bias" in attn_p[k] for k in ("to_q", "to_k", "to_v")):
+        return None
+    c = x.shape[-1]
+    r = x.size // c
+    if r < 8:
+        return None
+    w3 = jnp.concatenate([attn_p["to_q"]["kernel"],
+                          attn_p["to_k"]["kernel"],
+                          attn_p["to_v"]["kernel"]], axis=1).astype(x.dtype)
+    q, k, v = _qkv_ln_pallas(x.reshape(r, c), ln_p["scale"], ln_p["bias"],
+                             w3, eps)
+    shape = x.shape[:-1] + (w3.shape[1] // 3,)
+    return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+
+def _matmul_res_kernel(x_ref, w_ref, b_ref, res_ref, out_ref):
+    y = jax.lax.dot_general(
+        x_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    out_ref[:] = y + b_ref[:] + res_ref[:]
+
+
+@jax.jit
+def _matmul_res_pallas(x2d, w, b, res2d):
+    r, kdim = x2d.shape
+    n = w.shape[1]
+    bm = min(512, _ceil8(r))
+    nblk = -(-r // bm)
+    return pl.pallas_call(
+        _matmul_res_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0)),
+            pl.BlockSpec((kdim, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, n), x2d.dtype),
+        compiler_params=_PARAMS,
+    )(x2d, w, b.reshape(1, n), res2d)
+
+
+def matmul_bias_residual(x: jnp.ndarray, lin_p, res: jnp.ndarray
+                         ) -> Optional[jnp.ndarray]:
+    """res + linear(lin_p, x) over (..., K) with the weight VMEM-resident
+    (the attention out-projection + residual add; ~77 TFLOP/s as an XLA
+    add_add fusion, ~130 as a Pallas GEMM). None -> caller falls back."""
+    if jax.default_backend() != "tpu":
+        return None
+    kdim = x.shape[-1]
+    r = x.size // kdim
+    n = lin_p["kernel"].shape[1]
+    if r < 8 or kdim * n * x.dtype.itemsize > 16 * 1024 * 1024:
+        return None
+    b = lin_p.get("bias")
+    if b is None:
+        b = jnp.zeros((n,), x.dtype)
+    y = _matmul_res_pallas(x.reshape(r, kdim),
+                           lin_p["kernel"].astype(x.dtype),
+                           b.astype(x.dtype), res.reshape(r, n))
+    return y.reshape(res.shape)
+
+
 def ffn_ln_geglu_fused(x: jnp.ndarray, ln_p, ff_p, eps: float = 1e-5,
                        snc: bool = False) -> Optional[jnp.ndarray]:
     """x + proj_out(geglu(proj_in(LN(x)))) over the trailing axis of an

@@ -120,18 +120,27 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k",
-                                             "sm_scale"))
+                                             "sm_scale", "batch_start",
+                                             "batch_count"))
 def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        heads: int, sm_scale: float, block_q: int = 256,
-                       block_k: int = 1024) -> jnp.ndarray:
-    """q: (B, Sq, H·d), k/v: (B, Sk, H·d) -> (B, Sq, H·d). Sq may be any
+                       block_k: int = 1024, batch_start: int = 0,
+                       batch_count: int = 0) -> jnp.ndarray:
+    """q: (B, Sq, H·d), k/v: (B, Sk, H·d) -> (Bc, Sq, H·d). Sq may be any
     length (edge q blocks compute garbage columns that are never stored);
-    Sk is masked in-kernel when not a block multiple."""
+    Sk is masked in-kernel when not a block multiple.
+
+    batch_start/batch_count select a batch window [start, start+count) via
+    the index maps: Pallas operands must be whole arrays, so slicing the
+    CFG halves outside the call materializes ~16 ms/step of %slice copies
+    — the offset reads the halves in place instead."""
     b, sq, inner = q.shape
     sk = k.shape[1]
     d = inner // heads
+    bc = batch_count or b
+    bo = batch_start
 
-    grid = (b, -(-sq // block_q), -(-sk // block_k))
+    grid = (bc, -(-sq // block_q), -(-sk // block_k))
     kernel = functools.partial(
         _flash_nt_kernel, heads=heads, sk_actual=sk, block_k=block_k,
         sm_scale=sm_scale, out_dtype=q.dtype)
@@ -139,13 +148,13 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b + bo, i, 0)),
+            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
+            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, inner),
                                lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((inner, block_q), q.dtype),
             pltpu.VMEM((inner, block_q), jnp.float32),
@@ -241,21 +250,26 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k",
-                                             "sm_scale"))
+                                             "sm_scale", "batch_start",
+                                             "batch_count"))
 def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             kb: jnp.ndarray, vb: jnp.ndarray, heads: int,
                             sm_scale: float, block_q: int = 256,
-                            block_k: int = 1024) -> jnp.ndarray:
+                            block_k: int = 1024, batch_start: int = 0,
+                            batch_count: int = 0) -> jnp.ndarray:
     """Attention over [self ‖ bank] keys without concatenation.
     q/k/v: (B, Sq|Sk1, H·d); kb/vb: (1, Sk2, H·d) shared by every batch
-    row. Exact (online softmax across both segments)."""
+    row. Exact (online softmax across both segments). batch_start/count
+    select a batch window in place (see flash_attention_nt)."""
     b, sq, inner = q.shape
     sk1 = k.shape[1]
     sk2 = kb.shape[1]
     nk1 = -(-sk1 // block_k)
     nk2 = -(-sk2 // block_k)
+    bc = batch_count or b
+    bo = batch_start
 
-    grid = (b, -(-sq // block_q), nk1 + nk2)
+    grid = (bc, -(-sq // block_q), nk1 + nk2)
     kernel = functools.partial(
         _flash_nt2_kernel, heads=heads, sk1=sk1, sk2=sk2, block_k=block_k,
         nk1=nk1, sm_scale=sm_scale, out_dtype=q.dtype)
@@ -263,11 +277,12 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, inner),
+                         lambda b, i, j: (b + bo, i, 0)),
             pl.BlockSpec((1, block_k, inner),
-                         lambda b, i, j: (b, jnp.minimum(j, nk1 - 1), 0)),
+                         lambda b, i, j: (b + bo, jnp.minimum(j, nk1 - 1), 0)),
             pl.BlockSpec((1, block_k, inner),
-                         lambda b, i, j: (b, jnp.minimum(j, nk1 - 1), 0)),
+                         lambda b, i, j: (b + bo, jnp.minimum(j, nk1 - 1), 0)),
             pl.BlockSpec((1, block_k, inner),
                          lambda b, i, j: (0, jnp.maximum(j - nk1, 0), 0)),
             pl.BlockSpec((1, block_k, inner),
@@ -275,7 +290,7 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, block_q, inner),
                                lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, inner), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((inner, block_q), q.dtype),
             pltpu.VMEM((inner, block_q), jnp.float32),

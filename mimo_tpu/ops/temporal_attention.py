@@ -50,19 +50,41 @@ from jax.experimental import pallas as pl
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _tattn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
-                  *, frames: int, heads: int, out_dtype):
+def _tattn_kernel(x_ref, scale_ref, bias_ref, pe_ref,
+                  wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+                  *, frames: int, heads: int, out_dtype, ln: bool,
+                  residual: bool, eps: float = 1e-5):
     """One (batch, s-block) grid step: full temporal attention of all
     frames/heads for a block of spatial positions.
 
     x_ref/o_ref: (1, F, bs, C); weights: (C, C); bo: (1, C).
+    ln=True folds the pre-attention LayerNorm (fp32 stats) and the
+    sinusoidal PE add (pe_ref (F, C), added to the NORMED states —
+    reference motion_module.py:361-368) into the same pass; residual=True
+    adds the raw input block to the output (the module-level skip), so
+    the whole `x + attn(LN(x)+pe)` chain is one HBM read + one write.
     """
     f = frames
     _, _, bs, c = x_ref.shape
     d = c // heads
     fbs = f * bs
 
-    xt = x_ref[0].reshape(fbs, c).T                      # (C, F·bs)
+    x_in = x_ref[0].reshape(fbs, c)                      # (F·bs, C)
+    if ln:
+        # LN on the 3-D (F, bs, C) view: rank-expanding reshapes/broadcasts
+        # are unsupported Mosaic shape casts, so scale/bias/pe arrive as
+        # 3-D operands ((1,1,C)/(F,1,C)) and dims merge only afterwards
+        xa = x_ref[0].astype(jnp.float32)                # (F, bs, C)
+        cf = jnp.float32(c)
+        mean = jnp.sum(xa, axis=2, keepdims=True) / cf
+        var = jnp.sum(xa * xa, axis=2, keepdims=True) / cf - mean * mean
+        inv_s = jax.lax.rsqrt(var + eps)
+        normed = ((xa - mean) * inv_s * scale_ref[:].astype(jnp.float32)
+                  + bias_ref[:].astype(jnp.float32)).astype(x_in.dtype)
+        normed = normed + jnp.broadcast_to(pe_ref[:], (f, bs, c))
+        xt = normed.reshape(fbs, c).T                    # (C, F·bs)
+    else:
+        xt = x_in.T                                      # (C, F·bs)
 
     # projections: contraction over C rides the MXU at full utilization
     # (fp32 accumulation, results kept in the input dtype); the softmax
@@ -110,7 +132,10 @@ def _tattn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                    # (C, F·bs)
     out_t = out_t + bo_ref[0].astype(jnp.float32)[:, None]
-    o_ref[0] = out_t.T.reshape(f, bs, c).astype(out_dtype)
+    out = out_t.T.astype(out_dtype)
+    if residual:
+        out = out + x_in.astype(out_dtype)
+    o_ref[0] = out.reshape(f, bs, c)
 
 
 def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
@@ -142,23 +167,31 @@ def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
     return bs
 
 
-@functools.partial(jax.jit, static_argnames=("frames", "heads"))
-def temporal_attention_fused(x_norm: jnp.ndarray, wq, wk, wv, wo, bo,
-                             frames: int, heads: int) -> jnp.ndarray:
-    """x_norm: (B, F, S, C), pre-normed with the positional encoding already
-    added. Weights: (C, C) each; bo: (C,). Returns to_out(attend(x)) of
-    shape (B, F, S, C) — the caller adds the residual."""
-    b, f, s, c = x_norm.shape
+@functools.partial(jax.jit, static_argnames=("frames", "heads", "ln",
+                                             "residual"))
+def temporal_attention_fused(x: jnp.ndarray, scale, bias, pe,
+                             wq, wk, wv, wo, bo,
+                             frames: int, heads: int, ln: bool,
+                             residual: bool) -> jnp.ndarray:
+    """x: (B, F, S, C). With ln=False, x must be pre-normed with the PE
+    already added and the result is to_out(attend(x)) (caller adds the
+    residual). With ln=True the kernel computes
+    [x +] to_out(attend(LN(x) + pe)) itself — scale/bias (C,), pe (F, C).
+    """
+    b, f, s, c = x.shape
     assert f == frames
-    bs = _pick_bs(s, c, frames, x_norm.dtype.itemsize)
+    bs = _pick_bs(s, c, frames, x.dtype.itemsize)
     grid = (b, -(-s // bs))
     kernel = functools.partial(_tattn_kernel, frames=frames, heads=heads,
-                               out_dtype=x_norm.dtype)
+                               out_dtype=x.dtype, ln=ln, residual=residual)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, f, bs, c), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((f, 1, c), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
@@ -166,25 +199,53 @@ def temporal_attention_fused(x_norm: jnp.ndarray, wq, wk, wv, wo, bo,
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, f, bs, c), lambda i, j: (i, 0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(x_norm.shape, x_norm.dtype),
-    )(x_norm, wq, wk, wv, wo, bo.reshape(1, c))
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, scale.reshape(1, 1, c), bias.reshape(1, 1, c),
+      pe.reshape(f, 1, c), wq, wk, wv, wo, bo.reshape(1, c))
+
+
+def _applies(p_attn, x, frames: int, heads: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    c = x.shape[-1]
+    if c % heads or (c // heads) % 8:
+        return False
+    if "bias" in p_attn["to_q"]:          # kernel assumes bias-free qkv
+        return False
+    if _pick_bs(x.shape[2], c, frames, x.dtype.itemsize) == 0:
+        return False                       # working set can't fit VMEM
+    return True
+
+
+def _weights(p_attn, c, dtype):
+    return (p_attn["to_q"]["kernel"], p_attn["to_k"]["kernel"],
+            p_attn["to_v"]["kernel"], p_attn["to_out"]["kernel"],
+            p_attn["to_out"].get("bias", jnp.zeros((c,), dtype)))
 
 
 def temporal_attention(p_attn, x_norm: jnp.ndarray, frames: int,
                        heads: int):
-    """Dispatch: fused Pallas kernel on TPU, None otherwise (caller falls
-    back to the einsum formulation)."""
-    if jax.default_backend() != "tpu":
+    """Dispatch (pre-normed input): fused Pallas kernel on TPU, None
+    otherwise (caller falls back to the einsum formulation)."""
+    if not _applies(p_attn, x_norm, frames, heads):
         return None
     c = x_norm.shape[-1]
-    if c % heads or (c // heads) % 8:
-        return None
-    if "bias" in p_attn["to_q"]:          # kernel assumes bias-free qkv
-        return None
-    if _pick_bs(x_norm.shape[2], c, frames, x_norm.dtype.itemsize) == 0:
-        return None                        # working set can't fit VMEM
+    z = jnp.zeros((c,), x_norm.dtype)
     return temporal_attention_fused(
-        x_norm, p_attn["to_q"]["kernel"], p_attn["to_k"]["kernel"],
-        p_attn["to_v"]["kernel"], p_attn["to_out"]["kernel"],
-        p_attn["to_out"].get("bias", jnp.zeros((c,), x_norm.dtype)),
-        frames, heads)
+        x_norm, z, z, jnp.zeros((frames, c), x_norm.dtype),
+        *_weights(p_attn, c, x_norm.dtype),
+        frames=frames, heads=heads, ln=False, residual=False)
+
+
+def temporal_attention_ln(p_attn, ln_p, pe: jnp.ndarray, x: jnp.ndarray,
+                          frames: int, heads: int):
+    """Dispatch for the full `x + attn(LN(x) + pe)` chain fused in one
+    kernel (x raw tokens, pe (F, C)). Returns None when the kernel does
+    not apply — the caller runs the layer_norm/einsum fallback."""
+    if not _applies(p_attn, x, frames, heads):
+        return None
+    c = x.shape[-1]
+    return temporal_attention_fused(
+        x, ln_p["scale"], ln_p["bias"], pe.astype(x.dtype),
+        *_weights(p_attn, c, x.dtype),
+        frames=frames, heads=heads, ln=True, residual=True)

@@ -59,3 +59,35 @@ def test_ffn_snc_matches_reference():
 def test_fallback_on_cpu():
     x, ln_p, ff_p = _make((2, 16, 64), 64, 2, 2)
     assert FFN.ffn_ln_geglu_fused(x, ln_p, ff_p) is None
+
+
+def test_qkv_ln_matches_reference():
+    from mimo_tpu.ops import ffn as FFN2
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (3, 40, 64), jnp.float32)
+    ln_p = {"scale": jax.random.normal(key, (64,)),
+            "bias": jax.random.normal(jax.random.split(key)[0], (64,))}
+    attn_p = L.mha_init(key, 64, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        w3 = jnp.concatenate([attn_p["to_q"]["kernel"],
+                              attn_p["to_k"]["kernel"],
+                              attn_p["to_v"]["kernel"]], axis=1)
+        q, k, v = FFN2._qkv_ln_pallas(x.reshape(-1, 64), ln_p["scale"],
+                                      ln_p["bias"], w3, 1e-5)
+    norm = L.layer_norm(ln_p, x)
+    for got, name in ((q, "to_q"), (k, "to_k"), (v, "to_v")):
+        want = L.linear(attn_p[name], norm).reshape(-1, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+
+def test_matmul_bias_residual_matches():
+    from mimo_tpu.ops import ffn as FFN3
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (40, 64), jnp.float32)
+    res = jax.random.normal(jax.random.split(key)[0], (40, 96), jnp.float32)
+    lin = L.linear_init(key, 64, 96, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = FFN3._matmul_res_pallas(x, lin["kernel"], lin["bias"], res)
+    want = res + L.linear(lin, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

@@ -38,12 +38,39 @@ def test_fused_matches_einsum(b, f, s, c, heads):
     key = jax.random.PRNGKey(1)
     p = L.mha_init(key, c)
     x = jnp.asarray(rng.standard_normal((b, f, s, c)).astype(np.float32))
+    z = jnp.zeros((c,), x.dtype)
     with pltpu.force_tpu_interpret_mode():
         got = T.temporal_attention_fused(
-            x, p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"],
-            p["to_out"]["kernel"], p["to_out"]["bias"], f, heads)
+            x, z, z, jnp.zeros((f, c), x.dtype),
+            p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"],
+            p["to_out"]["kernel"], p["to_out"]["bias"], f, heads,
+            ln=False, residual=False)
     want = _einsum_ref(p, x, f, heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+@pytest.mark.parametrize("b,f,s,c,heads", [
+    (2, 8, 48, 64, 4),
+    (1, 6, 40, 48, 3),
+])
+def test_fused_ln_chain_matches_reference(b, f, s, c, heads):
+    """x + attn(LN(x) + pe) fully fused == the module-level chain."""
+    rng = np.random.default_rng(4)
+    key = jax.random.PRNGKey(5)
+    p = L.mha_init(key, c)
+    ln_p = {"scale": jnp.asarray(rng.standard_normal(c), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(c), jnp.float32)}
+    pe = jnp.asarray(rng.standard_normal((f, c)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, f, s, c)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = T.temporal_attention_fused(
+            x, ln_p["scale"], ln_p["bias"], pe,
+            p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"],
+            p["to_out"]["kernel"], p["to_out"]["bias"], f, heads,
+            ln=True, residual=True)
+    normed = L.layer_norm(ln_p, x) + pe[None, :, None, :]
+    want = x + _einsum_ref(p, normed, f, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
 def test_dispatch_none_on_cpu():
