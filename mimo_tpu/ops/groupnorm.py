@@ -208,9 +208,12 @@ def _gn_pallas_snc(x_t: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         jnp.arange(c), jnp.arange(c) // (c // groups)].set(1.0)
     scale = scale.reshape(1, c)
     bias = bias.reshape(1, c)
-    # 6 resident buffers (in/out double-buffered + fp32 temps)
+    # 6 resident buffers (in/out double-buffered + fp32 temps); prefer a
+    # dividing multiple-of-8 block (no ragged edge, aligned DMA rows)
     per_row = n * c * (x_t.dtype.itemsize * 4 + 8)
-    block_s = max(1, min(s, _VMEM_BUDGET // per_row))
+    cap = max(1, min(s, _VMEM_BUDGET // per_row))
+    block_s = max((b for b in range(8, cap + 1, 8) if s % b == 0),
+                  default=cap)
     nblk = -(-s // block_s)
     kernel = functools.partial(_gn_snc_kernel, groups=groups, eps=eps,
                                fuse_silu=fuse_silu, s_actual=s,
