@@ -81,7 +81,7 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
         v = jnp.where(rows + j * block_k < sk_actual, v, 0)
     vt = v.T                                            # (H·d, bk)
 
-    for h in range(heads):
+    def _qk(h):
         sl = slice(h * d, (h + 1) * d)                  # aligned sublanes
         # logits^T: (bk, bq) — contract over d on sublanes
         s = jax.lax.dot_general(
@@ -90,6 +90,17 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
         if ragged:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             s = jnp.where(rows + j * block_k < sk_actual, s, NEG_INF)
+        return s
+
+    # software-pipelined heads: head h+1's QK matmul is issued before head
+    # h's softmax, so the MXU can run ahead of the VPU chain (the kernel
+    # is VPU-bound — BENCH_NOTES.md)
+    s_next = _qk(0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = s_next
+        if h + 1 < heads:
+            s_next = _qk(h + 1)
 
         m_prev = m_ref[h:h + 1]                         # (1, bq)
         m_cur = jnp.max(s, axis=0, keepdims=True)
@@ -218,13 +229,22 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
     kt = k_blk.T                                        # (H·d, bk)
     vt = v_blk.T
 
-    for h in range(heads):
+    def _qk(h):
         sl = slice(h * d, (h + 1) * d)
         s = jax.lax.dot_general(
             kt[sl], qt_ref[sl], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if need_mask:
             s = jnp.where(valid, s, NEG_INF)
+        return s
+
+    # software-pipelined heads (see _flash_nt_kernel)
+    s_next = _qk(0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = s_next
+        if h + 1 < heads:
+            s_next = _qk(h + 1)
 
         m_prev = m_ref[h:h + 1]
         m_cur = jnp.max(s, axis=0, keepdims=True)
