@@ -326,7 +326,9 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
     h = L.group_norm(p["norm"], x, mcfg.norm_num_groups, 1e-6,
                      barrier=False, fused=True, snc=True)  # feeds a matmul (proj_in)
     tokens = h.reshape(b, frames, hgt * wid, c)
-    tokens = L.linear(p["proj_in"], tokens)
+    from mimo_tpu.ops.ffn import matmul_bias, matmul_bias_residual
+    t_in = matmul_bias(tokens, p["proj_in"])
+    tokens = t_in if t_in is not None else L.linear(p["proj_in"], tokens)
 
     pe = _temporal_pe(frames, c, tokens.dtype)[None, :, None, :]
 
@@ -354,6 +356,10 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
             ff_in = L.layer_norm(blk["ff_norm"], tokens)
             tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
 
+    out = matmul_bias_residual(tokens, p["proj_out"],
+                               residual.reshape(b, frames, hgt * wid, c))
+    if out is not None:
+        return out.reshape(n, hgt, wid, c)
     tokens = L.linear(p["proj_out"], tokens)
     return tokens.reshape(n, hgt, wid, c) + residual
 

@@ -254,6 +254,51 @@ def _matmul_res_kernel(x_ref, w_ref, b_ref, res_ref, out_ref):
     out_ref[:] = y + b_ref[:] + res_ref[:]
 
 
+def _matmul_kernel(x_ref, w_ref, b_ref, out_ref):
+    y = jax.lax.dot_general(
+        x_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    out_ref[:] = y + b_ref[:]
+
+
+@jax.jit
+def _matmul_pallas(x2d, w, b):
+    r, kdim = x2d.shape
+    n = w.shape[1]
+    bm = min(512, _ceil8(r))
+    nblk = -(-r // bm)
+    return pl.pallas_call(
+        _matmul_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0)),
+            pl.BlockSpec((kdim, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, n), x2d.dtype),
+        compiler_params=_PARAMS,
+    )(x2d, w, b.reshape(1, n))
+
+
+def matmul_bias(x: jnp.ndarray, lin_p) -> Optional[jnp.ndarray]:
+    """linear(lin_p, x) as a resident-weight Pallas GEMM, or None (caller
+    falls back to layers.linear)."""
+    if jax.default_backend() != "tpu":
+        return None
+    kdim = x.shape[-1]
+    r = x.size // kdim
+    n = lin_p["kernel"].shape[1]
+    if r < 8 or kdim * n * x.dtype.itemsize > 16 * 1024 * 1024:
+        return None
+    b = lin_p.get("bias")
+    if b is None:
+        b = jnp.zeros((n,), x.dtype)
+    y = _matmul_pallas(x.reshape(r, kdim), lin_p["kernel"].astype(x.dtype),
+                       b.astype(x.dtype))
+    return y.reshape(x.shape[:-1] + (n,))
+
+
 @jax.jit
 def _matmul_res_pallas(x2d, w, b, res2d):
     r, kdim = x2d.shape
