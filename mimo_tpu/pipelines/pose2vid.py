@@ -339,14 +339,15 @@ def denoise_one_step(params: Params, st: Pose2VideoStatic, ddim: DDIM,
     return ddim.step_v(v, step_idx, latents)
 
 
-def generate_host_loop(params: Params, st: Pose2VideoStatic,
-                       ref_image, pose_video, bk_video, clip_pixels,
-                       noise, jit_cache: Optional[dict] = None):
-    """Python-driven generation: jitted prepare / step / decode, with the
-    step loop on the host (see denoise_one_step docstring for why)."""
+def make_jit_cache(st: Pose2VideoStatic, cache: Optional[dict] = None) -> dict:
+    """Build (or complete) the jitted prepare/step/decode cache used by
+    `generate_host_loop`. Exposed so callers (bench.py) can compile and time
+    each phase separately — the driver bench needs provisional numbers
+    before the full end-to-end run finishes."""
     ddim = DDIM.create(st.cfg.pipeline.scheduler, st.num_inference_steps)
     windows, wweights = make_windows(st)
-    cache = jit_cache if jit_cache is not None else {}
+    cache = cache if cache is not None else {}
+    cache.setdefault("_ddim", ddim)
     if "prepare" not in cache:
         cache["prepare"] = jax.jit(lambda p, a, b, c, d: prepare_conditioning(
             p, st, a, b, c, d))
@@ -358,15 +359,26 @@ def generate_host_loop(params: Params, st: Pose2VideoStatic,
         return denoise_one_step({"denoising_unet": dp}, st, ddim, cond, lat,
                                 i, windows, wweights)
 
-    cond = cache["prepare"](params, ref_image, pose_video, bk_video,
-                            clip_pixels)
-    latents = noise * ddim.init_noise_sigma
-
     # AUTO-layout stepping was tried here and removed: it measured no gain
     # over plain jit on v5e (per-step weight copies overlap compute; see
     # BENCH_NOTES.md) and its executable rejected device_put-relaid inputs.
     if "step" not in cache:
         cache["step"] = jax.jit(step_fn)
+    return cache
+
+
+def generate_host_loop(params: Params, st: Pose2VideoStatic,
+                       ref_image, pose_video, bk_video, clip_pixels,
+                       noise, jit_cache: Optional[dict] = None):
+    """Python-driven generation: jitted prepare / step / decode, with the
+    step loop on the host (see denoise_one_step docstring for why)."""
+    cache = make_jit_cache(st, jit_cache)
+    ddim = cache["_ddim"]
+
+    cond = cache["prepare"](params, ref_image, pose_video, bk_video,
+                            clip_pixels)
+    latents = noise * ddim.init_noise_sigma
+
     for i in range(ddim.num_steps):
         latents = cache["step"](params["denoising_unet"], cond, latents,
                                 jnp.asarray(i))
