@@ -119,10 +119,13 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int,
     `fused=True` routes the fp32 path through the Pallas kernel on TPU
     (ops/groupnorm.py): 1-2 HBM reads + 1 write instead of XLA's 3+1.
     Measured (BENCH_NOTES.md): a clear win in the VAE programs (prepare
-    1.44→0.72 s, decode 2.27→1.13 s) but a net LOSS inside the denoise
-    step — the opaque kernel breaks XLA's elementwise fusions around each
-    GroupNorm (+117 ms/step of standalone adds vs −134 ms of reductions) —
-    so the UNets keep the XLA path. `fuse_silu` folds the following SiLU
+    1.44→0.72 s, decode 2.27→1.13 s). The original (N, S, C) kernel was a
+    net LOSS inside the denoise step (the opaque kernel broke XLA's
+    elementwise fusions around each GroupNorm: +117 ms/step of standalone
+    adds vs −134 ms of reductions), but the later SNC-layout kernel with
+    `row_add` folding the resnet temb adds made it a win — the UNets now
+    route through `fused=True, snc=True` at every resnet/transformer/
+    out-head site (models/unet.py). `fuse_silu` folds the following SiLU
     into the same pass (resnet GN→SiLU→conv chains) on either path.
 
     `barrier` (default on): materialize the output before the consumer

@@ -122,8 +122,8 @@ def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
-def _pick_t_blocks(sq: int, sk: int, inner: int,
-                   itemsize: int) -> Tuple[int, int]:
+def _pick_t_blocks(sq: int, sk: int, inner: int, itemsize: int,
+                   sk_min: Optional[int] = None) -> Tuple[int, int]:
     """Blocks for the natural-layout transposed-compute kernel. Blocks are
     full-width (block, H·d), so the VMEM working set is dominated by the
     double-buffered K/V blocks, their in-kernel transposes, and the fp32
@@ -155,11 +155,17 @@ def _pick_t_blocks(sq: int, sk: int, inner: int,
     # 6272/12544-key shapes).
     # bk cap 3136: measured optimum on every step shape (bigger blocks
     # regress — bk 4480 runs 38 TFLOP/s vs 3136's 55 on the hot shape)
-    sk_p = _ceil_to(sk, _LANE)
-    cap = min(sk_p, 3136)
+    # never return a key block larger than the shortest segment it will be
+    # applied to (sk_min: the banked dispatch sizes from max(sk1, sk2) but
+    # applies the block to BOTH segments) — an oversized block would make
+    # the edge-block DMA read past the allocation
+    sk_min = sk if sk_min is None else min(sk, sk_min)
+    cap = min(_ceil_to(sk, _LANE), 3136, max(8, sk_min // 8 * 8))
     cands = set(range(_LANE, cap + 1, _LANE))
     cands.update(b for b in range(128, cap + 1, 8) if sk % b == 0)
-    best_any = _LANE
+    if not cands:
+        cands = {cap}                  # sk_min < 128: one floor-8 block
+    best_any = min(cands)
     best_div = 0
     for b in sorted(cands):
         if not fits(bq, b):
@@ -193,7 +199,8 @@ def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             and d % 8 == 0 and d <= 160):
         from mimo_tpu.ops.flash_transposed import flash_attention_nt_bank
         bq, bk = _pick_t_blocks(q.shape[1], max(k.shape[1], kb.shape[1]),
-                                q.shape[2], q.dtype.itemsize)
+                                q.shape[2], q.dtype.itemsize,
+                                sk_min=min(k.shape[1], kb.shape[1]))
         return flash_attention_nt_bank(q, k, v, kb, vb, heads,
                                        sm_scale=1.0 / math.sqrt(d),
                                        block_q=bq, block_k=bk,

@@ -117,8 +117,13 @@ _PARAMS = pltpu.CompilerParams(
     vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _ceil8(x: int) -> int:
-    return -(-x // 8) * 8
+def _floor8(x: int) -> int:
+    """Largest 8-multiple <= x (callers guard x >= 8). Row blocks must be
+    FLOORED, never ceiled: a block strictly larger than the array extent
+    makes the edge-block DMA read past the allocation (the documented
+    TPU-worker crash mode); a block smaller than a ragged extent is fine —
+    the grid's partial edge block handles the tail."""
+    return x // 8 * 8
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -131,7 +136,7 @@ def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float):
     # an HBM arena (observed as "TPU worker crashed" on the tiny-shape
     # reference UNet — allocation-layout dependent, so standalone repros
     # pass while the full program crashes)
-    bm = min(512, _ceil8(r))
+    bm = min(512, _floor8(r))
     while bm > 8 and not _budget_ok(c, inner, bm, x2d.dtype.itemsize):
         bm //= 2
     nblk = -(-r // bm)
@@ -206,7 +211,7 @@ def _qkv_ln_kernel(x_ref, scale_ref, bias_ref, w_ref, q_ref, k_ref, v_ref,
 def _qkv_ln_pallas(x2d, scale, bias, w3, eps: float):
     r, c = x2d.shape
     inner = w3.shape[1] // 3
-    bm = min(512, _ceil8(r))
+    bm = min(512, _floor8(r))
     nblk = -(-r // bm)
     out_sd = jax.ShapeDtypeStruct((r, inner), x2d.dtype)
     return pl.pallas_call(
@@ -265,7 +270,7 @@ def _matmul_kernel(x_ref, w_ref, b_ref, out_ref):
 def _matmul_pallas(x2d, w, b):
     r, kdim = x2d.shape
     n = w.shape[1]
-    bm = min(512, _ceil8(r))
+    bm = min(512, _floor8(r))
     nblk = -(-r // bm)
     return pl.pallas_call(
         _matmul_kernel,
@@ -303,7 +308,7 @@ def matmul_bias(x: jnp.ndarray, lin_p) -> Optional[jnp.ndarray]:
 def _matmul_res_pallas(x2d, w, b, res2d):
     r, kdim = x2d.shape
     n = w.shape[1]
-    bm = min(512, _ceil8(r))
+    bm = min(512, _floor8(r))
     nblk = -(-r // bm)
     return pl.pallas_call(
         _matmul_res_kernel,

@@ -164,7 +164,14 @@ def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
     # rolls stay within the real (unpadded) lane extent
     step = 128 // math.gcd(frames, 128)
     step = max(step, 8)
-    bs = min(512, -(-s // step) * step)
+    # FLOOR to the step multiple — a block exceeding the whole S extent
+    # DMAs past the allocation (the documented TPU-worker crash mode).
+    # s % bs ragged tails are fine: every lane column is independent in
+    # this kernel (LN/logits/softmax/PV are all per-(f,s) column), so the
+    # partial edge block's pad columns never contaminate valid ones.
+    bs = min(512, s // step * step)
+    if bs == 0:
+        return 0                       # S too small for a lane-aligned block
     while bs > step and cost(bs) > _VMEM_BUDGET:
         bs -= step
     # over-budget at the minimum block (c=1280): still use the kernel if
@@ -189,6 +196,7 @@ def temporal_attention_fused(x: jnp.ndarray, scale, bias, pe,
     b, f, s, c = x.shape
     assert f == frames
     bs = _pick_bs(s, c, frames, x.dtype.itemsize)
+    assert bs > 0, "caller must gate on _applies (which checks _pick_bs)"
     grid = (b, -(-s // bs))
     kernel = functools.partial(_tattn_kernel, frames=frames, heads=heads,
                                out_dtype=x.dtype, ln=ln, residual=residual)

@@ -28,6 +28,9 @@ def _ref(x, ln_p, ff_p):
 @pytest.mark.parametrize("shape,mult", [
     ((3, 40, 64), 2),        # 3-D tokens, rows not a block multiple
     ((2, 5, 24, 128), 2),    # 4-D motion-module tokens
+    ((3, 41, 64), 2),        # r=123: NOT an 8-multiple — the row block must
+                             # floor to 120 (never ceil past the extent:
+                             # ADVICE round 2) and the edge block takes 3
 ])
 def test_ffn_nsc_matches_reference(shape, mult):
     x, ln_p, ff_p = _make(shape, shape[-1], mult, 0)
@@ -54,6 +57,14 @@ def test_ffn_snc_matches_reference():
         y = jnp.transpose(y_t, (1, 0, 2))
     np.testing.assert_allclose(np.asarray(y), np.asarray(_ref(x, ln_p, ff_p)),
                                atol=2e-4)
+
+
+def test_row_block_never_exceeds_rows():
+    """Blocks must floor to the 8-multiple below r — ceiling past the array
+    extent is the documented TPU-worker crash mode (ADVICE round 2)."""
+    for r in [8, 9, 15, 41, 123, 511, 512, 513, 6272]:
+        bm = min(512, FFN._floor8(r))
+        assert 8 <= bm <= r
 
 
 def test_fallback_on_cpu():

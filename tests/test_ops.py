@@ -108,3 +108,36 @@ def test_flash_nt_bank_kernel_matches_oracle_interpret():
         want = _sdpa_oracle(q, kcat, vcat, heads)
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+
+def test_flash_nt_kernel_bf16_precision_pinned():
+    """The shipped production path runs in bf16, where the kernel computes
+    exp2 on a bf16-rounded exponent (flash_transposed.py) — a deliberate
+    precision tradeoff that the fp32 interpret tests never exercised
+    (ADVICE round 2). Pin it: bf16 kernel output vs the fp32 numpy oracle
+    must stay within a few bf16 ulps of the oracle's own bf16 rounding."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mimo_tpu.ops.flash_transposed import flash_sdpa_t
+
+    rng = np.random.default_rng(3)
+    b, sq, sk, heads, d = 2, 48, 96, 2, 8
+    q = rng.standard_normal((b, sq, heads * d)).astype(np.float32)
+    k = rng.standard_normal((b, sk, heads * d)).astype(np.float32)
+    # spread the value magnitudes so suppressed attention weights matter
+    v = (rng.standard_normal((b, sk, heads * d)) * 4).astype(np.float32)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb_ = jnp.asarray(k, jnp.bfloat16)
+    vb_ = jnp.asarray(v, jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_sdpa_t(qb, kb_, vb_, heads,
+                                      block_q=16, block_k=32)
+                         .astype(jnp.float32))
+    # oracle on the bf16-rounded inputs (matching what the kernel reads)
+    want = _sdpa_oracle(np.asarray(qb.astype(jnp.float32)),
+                        np.asarray(kb_.astype(jnp.float32)),
+                        np.asarray(vb_.astype(jnp.float32)), heads)
+    # bf16 has ~2-3 decimal digits; the exp2-on-bf16 exponent adds up to
+    # ~2% relative error on suppressed weights. |v| <= ~16 here, so an
+    # absolute envelope of 0.25 (~3 bf16 ulps at this magnitude) pins the
+    # tradeoff without flaking.
+    np.testing.assert_allclose(got, want, atol=0.25)
+

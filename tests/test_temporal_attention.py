@@ -31,7 +31,7 @@ def _einsum_ref(p_attn, x_norm, frames, heads):
 @pytest.mark.parametrize("b,f,s,c,heads", [
     (2, 8, 48, 64, 4),     # ragged s (48 not a multiple of the block)
     (1, 16, 32, 32, 2),
-    (1, 6, 40, 48, 3),     # F with gcd(F,128)=2 -> bs step 64
+    (1, 6, 100, 48, 3),    # F with gcd(F,128)=2 -> bs step 64, ragged tail
 ])
 def test_fused_matches_einsum(b, f, s, c, heads):
     rng = np.random.default_rng(0)
@@ -51,7 +51,7 @@ def test_fused_matches_einsum(b, f, s, c, heads):
 
 @pytest.mark.parametrize("b,f,s,c,heads", [
     (2, 8, 48, 64, 4),
-    (1, 6, 40, 48, 3),
+    (1, 6, 100, 48, 3),
 ])
 def test_fused_ln_chain_matches_reference(b, f, s, c, heads):
     """x + attn(LN(x) + pe) fully fused == the module-level chain."""
@@ -71,6 +71,18 @@ def test_fused_ln_chain_matches_reference(b, f, s, c, heads):
     normed = L.layer_norm(ln_p, x) + pe[None, :, None, :]
     want = x + _einsum_ref(p, normed, f, heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_pick_bs_never_exceeds_s():
+    """A block larger than the whole S extent DMAs past the allocation on
+    real hardware (allocation-dependent TPU-worker crash — ADVICE round 2).
+    _pick_bs must floor to the lane-alignment step and return 0 (einsum
+    fallback) when even the minimum aligned block exceeds S."""
+    # f=6 -> step 64: s=40 cannot host an aligned block
+    assert T._pick_bs(40, 48, 6, 4) == 0
+    for s, f in [(100, 6), (40, 8), (6272, 24), (98, 24), (8, 16)]:
+        bs = T._pick_bs(s, 48, f, 4)
+        assert bs <= s, (s, f, bs)
 
 
 def test_dispatch_none_on_cpu():
