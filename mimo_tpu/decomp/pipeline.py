@@ -181,12 +181,12 @@ class VideoProcessor:
 
     # -- stage 5: occlusion -------------------------------------------------
 
-    def get_occ(self, frames, person_masks):
+    def get_occ(self, frames, person_masks, sdc=None):
         m = self.models
         if None in (m.automask, m.depth, m.track_video):
             return None
         occ = OCC.extract_occlusion_video(
-            frames, person_masks, m.automask, m.depth,
+            frames, person_masks, sdc, m.automask, m.depth,
             lambda fr, seed, kf: m.track_video(list(fr), seed, kf),
             self.cfg.occ)
         if occ is None:
@@ -248,7 +248,7 @@ class VideoProcessor:
             if bk is not None:
                 VIO.save_video(list(bk), stage_path("bk.mp4"), cfg.target_fps)
 
-        occ = self.get_occ(frames, masks)
+        occ = self.get_occ(frames, masks, sdc)
         if occ is not None:
             VIO.save_video([(o * 255).astype(np.uint8)[..., None]
                             .repeat(3, -1) for o in occ],

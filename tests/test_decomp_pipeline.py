@@ -117,20 +117,127 @@ def test_half_body_code():
     assert code == DP.CODE_HALF_BODY
 
 
-def test_occlusion_filter_depth_ordering():
-    H, W = 32, 32
-    person = np.zeros((H, W), bool); person[8:28, 10:22] = True
-    front = np.zeros((H, W), bool); front[20:32, 8:16] = True   # overlaps
-    behind = np.zeros((H, W), bool); behind[20:32, 16:24] = True
-    depth = np.zeros((H, W), np.float32)
-    depth[person] = 0.5
-    depth[front & ~person] = 0.9
-    depth[behind & ~person] = 0.1
-    cands = [{"segmentation": front}, {"segmentation": behind}]
-    cfg = OCC.OcclusionConfig(min_area=10, min_overlap_px=5)
-    kept = OCC.find_occluders_in_frame(cands, depth, person, cfg)
+# ---- exact get_obscure_obj port (demo_occ.py:574-662) ---------------------
+# Hand-built 64x80 scene: visible person rows 10-50 x cols 30-50 (area 800),
+# SDC render rows 10-60 x cols 30-50 (the full body, including legs hidden
+# behind occluders), background depth 50, person depth 100, occluders 200.
+
+_H, _W = 64, 80
+
+
+def _occ_scene():
+    person = np.zeros((_H, _W), bool)
+    person[10:50, 30:50] = True
+    sdc = np.zeros((_H, _W), np.uint8)
+    sdc[10:60, 30:50] = 1
+    depth = np.full((_H, _W), 50, np.float64)
+    depth[person] = 100
+    return person, sdc, depth
+
+
+def _cand(mask, depth):
+    depth[mask & ~(depth == 100)] = 200       # candidate is in front
+    return {"segmentation": mask, "area": int(mask.sum())}
+
+
+def test_avg_depth_value_denominator():
+    """Denominator is the count of positive masked-depth pixels, not the
+    mask area (demo_occ.py:527-535)."""
+    depth = np.array([[0, 10], [20, 30]], np.float64)
+    mask = np.array([[1, 1], [1, 0]], np.uint8)
+    # masked = [0,10,20]; positives = 2 -> (0+10+20)/2 = 15
+    assert OCC.avg_depth_value(depth, mask) == 15.0
+
+
+def test_occ_depth_gate():
+    """A candidate behind the person (depth below the person's average)
+    fails the mask_obscure overlap fraction."""
+    person, sdc, depth = _occ_scene()
+    front = np.zeros((_H, _W), bool); front[44:60, 28:52] = True
+    behind = np.zeros((_H, _W), bool); behind[10:44, 4:28] = True
+    cands = [_cand(front, depth), {"segmentation": behind,
+                                   "area": int(behind.sum())}]  # stays at 50
+    kept = OCC.find_occluders_in_frame(cands, depth, person, sdc)
     assert len(kept) == 1
-    assert (kept[0] == front).all()
+    assert not kept[0][20, 10]                # the behind blob was dropped
+
+
+def test_occ_normal_branch_sdc_100():
+    """Normal-size candidate: kept iff >= 100 px of its in-front region
+    overlap the SDC render (demo_occ.py:645,648)."""
+    person, sdc, depth = _occ_scene()
+    # rows 50-60 x cols 30-50 of the occluder lie on the sdc legs: 200 px
+    occ = np.zeros((_H, _W), bool); occ[44:60, 28:52] = True
+    kept = OCC.find_occluders_in_frame([_cand(occ, depth)], person_mask=person,
+                                       sdc_mask=sdc, depth=depth)
+    assert len(kept) == 1
+
+    # same-size candidate that never touches the sdc render: dropped
+    person, sdc, depth = _occ_scene()
+    away = np.zeros((_H, _W), bool); away[44:60, 0:24] = True
+    kept = OCC.find_occluders_in_frame([_cand(away, depth)], depth, person,
+                                       sdc)
+    assert kept == []
+
+
+def test_occ_large_mask_branch_sdc_600():
+    """A candidate LARGER than the person needs >= 600 px of sdc overlap
+    (demo_occ.py:642-643) — the same geometry below passes at normal size
+    (150 px >= 100) but fails when grown past the person's area."""
+    person, sdc, depth = _occ_scene()
+    small = np.zeros((_H, _W), bool); small[35:60, 22:45] = True  # area 575
+    kept = OCC.find_occluders_in_frame([_cand(small, depth)], depth, person,
+                                       sdc)
+    assert len(kept) == 1                     # sdc overlap 150 >= 100
+
+    person, sdc, depth = _occ_scene()
+    large = np.zeros((_H, _W), bool); large[10:60, 10:45] = True  # area 1750
+    kept = OCC.find_occluders_in_frame([_cand(large, depth)], depth, person,
+                                       sdc)
+    assert kept == []                         # 150 < 600 for a large mask
+
+
+def test_occ_ground_branch():
+    """A full-width bottom band is a ground layer (bottom-10-rows coverage
+    >= 90%, demo_occ.py:608-612): its sdc threshold drops to num_sdc*0.1
+    even though its area exceeds the person's."""
+    person, sdc, depth = _occ_scene()        # num_sdc = 1000 -> thr 100
+    ground = np.zeros((_H, _W), bool); ground[48:64, :] = True   # area 1280
+    kept = OCC.find_occluders_in_frame([_cand(ground, depth)], depth, person,
+                                       sdc)
+    assert len(kept) == 1                    # sdc overlap 200 >= 100
+
+    # same band but only 70/80 cols: not ground -> large-mask thr 600
+    person, sdc, depth = _occ_scene()
+    partial = np.zeros((_H, _W), bool); partial[48:64, 0:70] = True
+    kept = OCC.find_occluders_in_frame([_cand(partial, depth)], depth,
+                                       person, sdc)
+    assert kept == []                        # 200 < 600
+
+
+def test_occ_person_mask_rejected():
+    """judge_obj_valid drops the person's own auto-mask (inter > 80% of
+    the person's area, demo_occ.py:398)."""
+    person, sdc, depth = _occ_scene()
+    cand = {"segmentation": person.copy(), "area": int(person.sum())}
+    assert OCC.find_occluders_in_frame([cand], depth, person, sdc) == []
+
+
+def test_pick_keyframes_component_ranked():
+    """Frames where an occluder splits the person into more components
+    rank first; picks are >= interval apart (tools/util.py:264-299)."""
+    T = 50
+    masks = []
+    for t in range(T):
+        m = np.zeros((_H, _W), np.uint8)
+        m[10:50, 30:50] = 1
+        if t in (7, 8, 30):                  # occluder splits the person
+            m[25:32, :] = 0
+        masks.append(m)
+    cfg = OCC.OcclusionConfig(num_keyframes=2, keyframe_interval=20)
+    picked = OCC.pick_keyframes(masks, cfg)
+    assert len(picked) == 2
+    assert any(p in (7, 8) for p in picked) and 30 in picked
 
 
 def test_full_run_writes_template(tmp_path):
