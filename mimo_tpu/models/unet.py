@@ -316,10 +316,22 @@ def _temporal_attn(p_attn: Params, x_norm: jnp.ndarray, frames: int,
 
 
 def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
-                        mcfg: MotionModuleConfig) -> jnp.ndarray:
+                        mcfg: MotionModuleConfig,
+                        axis_name: Optional[str] = None,
+                        frames_global: Optional[int] = None) -> jnp.ndarray:
     """x: (B*F, H, W, C) -> same. Temporal self-attention over the frame axis
     at every spatial location (reference motion_module.py:146-184,361-374).
-    Frames stay the second axis throughout — no (B*S, F, C) transpose."""
+    Frames stay the second axis throughout — no (B*S, F, C) transpose.
+
+    Frame-parallel mode (axis_name set, inside shard_map): x holds the
+    LOCAL frames (frames = F_global / n_devices). The temporal attention is
+    the single op coupling frames (reference motion_module.py:361-374), so
+    the module resharding rides one all-to-all each way: tokens swap the
+    frame axis for the spatial axis (F local ↔ S local), the whole
+    attention/FF block stack runs with the full frame axis and 1/n of the
+    spatial positions, then swaps back. Everything outside this module
+    stays frame-sharded with zero communication. When S does not divide
+    the mesh (tiny test shapes), falls back to all-gather + local slice."""
     n, hgt, wid, c = x.shape
     b = n // frames
     residual = x
@@ -330,7 +342,23 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
     t_in = matmul_bias(tokens, p["proj_in"])
     tokens = t_in if t_in is not None else L.linear(p["proj_in"], tokens)
 
-    pe = _temporal_pe(frames, c, tokens.dtype)[None, :, None, :]
+    f_attn = frames
+    gathered = None                    # 'a2a' | 'gather' | None
+    if axis_name is not None and frames_global is not None \
+            and frames_global != frames:
+        ndev = frames_global // frames
+        f_attn = frames_global
+        if (hgt * wid) % ndev == 0:
+            # (b, F/n, S, c) -> (b, F, S/n, c)
+            tokens = jax.lax.all_to_all(tokens, axis_name, split_axis=2,
+                                        concat_axis=1, tiled=True)
+            gathered = "a2a"
+        else:
+            tokens = jax.lax.all_gather(tokens, axis_name, axis=1,
+                                        tiled=True)
+            gathered = "gather"
+
+    pe = _temporal_pe(f_attn, c, tokens.dtype)[None, :, None, :]
 
     from mimo_tpu.ops.temporal_attention import temporal_attention_ln
     for blk in p["blocks"]:
@@ -338,7 +366,7 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
             # fully-fused chain: tokens + attn(LN(tokens) + pe) in one
             # kernel pass (LN stats + PE add + residual ride along)
             fused = temporal_attention_ln(a["attn"], a["norm"], pe[0, :, 0],
-                                          tokens, frames, mcfg.num_heads)
+                                          tokens, f_attn, mcfg.num_heads)
             if fused is not None:
                 tokens = fused
                 continue
@@ -346,7 +374,7 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
             # PE is added to the *normed* states before qkv
             # (reference motion_module.py:361-368)
             normed = normed + pe
-            tokens = tokens + _temporal_attn(a["attn"], normed, frames,
+            tokens = tokens + _temporal_attn(a["attn"], normed, f_attn,
                                              mcfg.num_heads)
         from mimo_tpu.ops.ffn import ffn_ln_geglu_fused
         ff_out = ffn_ln_geglu_fused(tokens, blk["ff_norm"], blk["ff"])
@@ -355,6 +383,15 @@ def motion_module_apply(p: Params, x: jnp.ndarray, frames: int,
         else:
             ff_in = L.layer_norm(blk["ff_norm"], tokens)
             tokens = tokens + L.geglu_ff(blk["ff"], ff_in)
+
+    if gathered == "a2a":
+        # (b, F, S/n, c) -> (b, F/n, S, c)
+        tokens = jax.lax.all_to_all(tokens, axis_name, split_axis=1,
+                                    concat_axis=2, tiled=True)
+    elif gathered == "gather":
+        idx = jax.lax.axis_index(axis_name)
+        tokens = jax.lax.dynamic_slice_in_dim(tokens, idx * frames, frames,
+                                              axis=1)
 
     out = matmul_bias_residual(tokens, p["proj_out"],
                                residual.reshape(b, frames, hgt * wid, c))
@@ -469,11 +506,25 @@ def _time_embedding(p: Params, cfg: UNetConfig, t: jnp.ndarray,
     return L.time_mlp(p["time_mlp"], emb.astype(dtype))
 
 
+# Test-only activation tap: when set to a callable, _unet_core calls it
+# with (name, tensor) after every down block, the mid, and every up block.
+# Production code never sets it (zero overhead: a None check at trace
+# time). Used by tests/test_golden.py's per-block checksum goldens.
+_TAP = None
+
+
+def _tap(name: str, h: jnp.ndarray) -> None:
+    if _TAP is not None:
+        _TAP(name, h)
+
+
 def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
                ctx: jnp.ndarray, frames: int,
                banks_out: Optional[List[jnp.ndarray]],
                banks_in: Optional[List[jnp.ndarray]],
-               cfg_split: bool, skip_out_head: bool) -> jnp.ndarray:
+               cfg_split: bool, skip_out_head: bool,
+               axis_name: Optional[str] = None,
+               frames_global: Optional[int] = None) -> jnp.ndarray:
     """Runs down → mid → up [→ head] on h = conv_in(x) [+ pose].
     h: (N, H, W, C0) with N = B*frames."""
     g, eps = cfg.norm_num_groups, cfg.norm_eps
@@ -499,11 +550,12 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
                     cfg_split=cfg_split)
             if mm and blk["motions"] is not None:
                 h = motion_module_apply(blk["motions"][j], h, frames,
-                                        cfg.motion)
+                                        cfg.motion, axis_name, frames_global)
             skips.append(h)
         if blk["downsample"] is not None:
             h = L.conv2d(blk["downsample"], h, stride=2, padding=1)
             skips.append(h)
+        _tap(f"down{len(skips)}", h)
 
     # mid
     mid = p["mid"]
@@ -512,8 +564,10 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
                                   bank_out=banks_out, bank_in=next_bank(),
                                   cfg_split=cfg_split)
     if mm and mid["motions"] is not None:
-        h = motion_module_apply(mid["motions"][0], h, frames, cfg.motion)
+        h = motion_module_apply(mid["motions"][0], h, frames, cfg.motion,
+                                axis_name, frames_global)
     h = resnet_apply(mid["resnets"][1], h, temb, g, eps, fused_gn=True)
+    _tap("mid", h)
 
     # up
     for blk in p["up"]:
@@ -528,13 +582,14 @@ def _unet_core(p: Params, cfg: UNetConfig, h: jnp.ndarray, temb: jnp.ndarray,
                     cfg_split=cfg_split)
             if mm and blk["motions"] is not None:
                 h = motion_module_apply(blk["motions"][j], h, frames,
-                                        cfg.motion)
+                                        cfg.motion, axis_name, frames_global)
         if blk["upsample"] is not None:
             # target the next skip's spatial dims (odd sizes: 13→25, not 26;
             # reference unet_3d_edit_bkfill.py:540-548 upsample_size)
             th, tw = skips[-1].shape[1], skips[-1].shape[2]
             h = L.upsample_nearest_to(h, th, tw)
             h = L.conv2d(blk["upsample"], h, padding=1)
+        _tap(f"up{len(skips)}", h)
 
     if skip_out_head:
         return h
@@ -569,7 +624,9 @@ def unet2d_apply(p: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray,
 def unet3d_apply(p: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray,
                  ctx: jnp.ndarray, pose_fea: Optional[jnp.ndarray],
                  banks: Optional[List[jnp.ndarray]],
-                 cfg_split: bool = False) -> jnp.ndarray:
+                 cfg_split: bool = False,
+                 axis_name: Optional[str] = None,
+                 frames_global: Optional[int] = None) -> jnp.ndarray:
     """Denoising-UNet role.
 
     x: (B, F, H, W, Cin) — Cin = 8 = noise ‖ background latents.
@@ -593,7 +650,8 @@ def unet3d_apply(p: Params, cfg: UNetConfig, x: jnp.ndarray, t: jnp.ndarray,
         h = h + pose_fea.reshape(bsz * frames, hgt, wid, -1).astype(h.dtype)
 
     out = _unet_core(p, cfg, h, temb, ctxf, frames=frames, banks_out=None,
-                     banks_in=banks, cfg_split=cfg_split, skip_out_head=False)
+                     banks_in=banks, cfg_split=cfg_split, skip_out_head=False,
+                     axis_name=axis_name, frames_global=frames_global)
     return out.reshape(bsz, frames, hgt, wid, cfg.out_channels)
 
 

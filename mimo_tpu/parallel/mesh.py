@@ -1,11 +1,20 @@
 """Device mesh + sharding helpers.
 
 The reference has no distributed execution at all (SURVEY.md §2e); this is
-the TPU-native scaling layer it lacks. One mesh axis, ``data``: the
-window-batch of the denoise loop (and the frame batch of VAE/pose/CLIP
-passes) shards across it; weights and banks replicate; the overlap-average
-scatter is a per-device partial sum that XLA turns into a psum when the
-scatter targets replicated output.
+the TPU-native scaling layer it lacks. One mesh axis, ``data``, with two
+sharding modes selected per clip shape (pipelines/pose2vid.py):
+
+- **Window-batch DP** (``mesh_axis="data"``): multi-window clips shard the
+  window batch via sharding constraints; weights and banks replicate; the
+  overlap-average scatter is a per-device partial sum that XLA turns into
+  a psum when the scatter targets replicated output.
+- **Frame-axis parallelism** (``frame_axis="data"`` + ``mesh``): the
+  flagship 24-frame clip has ONE window, so window DP degenerates.
+  shard_map splits the frame axis through VAE encode/decode, the pose
+  guider, and the denoising UNet — every op is frame-local except the
+  temporal attention, which swaps frame- for spatial-sharding with one
+  all-to-all each way (models/unet.py::motion_module_apply). Per-device
+  FLOPs are 1/n of the global work.
 
 Collectives ride XLA/SPMD entirely — no hand-written NCCL analog is needed.
 """

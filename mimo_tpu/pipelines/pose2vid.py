@@ -58,6 +58,15 @@ class Pose2VideoStatic:
     window_chunk: Optional[int] = None   # None = all windows at once
     pad_windows_to: int = 1              # multiple for mesh-even batches
     mesh_axis: Optional[str] = None      # shard window batch over this axis
+    # Frame-axis parallelism (the flagship 24-frame clip has ONE window, so
+    # window-batch DP degenerates — VERDICT r2 #3). When set, the UNet /
+    # VAE / pose-guider calls run under shard_map over `mesh`, frames
+    # sharded `frame_axis`-wise: all ops are frame-local except the
+    # temporal attention, which swaps frame- for spatial-sharding with one
+    # all-to-all each way (models/unet.py::motion_module_apply). Pallas
+    # kernels keep working — shard_map hands each device its local block.
+    frame_axis: Optional[str] = None
+    mesh: Optional[Any] = None           # jax.sharding.Mesh (hashable)
     vae_chunk: int = 8                   # frames per VAE call (full-res
                                          # activations are ~200MB/frame;
                                          # 8 measured best: encode 25f
@@ -89,6 +98,62 @@ def chunked_apply(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return ys[:n]
 
 
+def _unet_call(params_du: Params, st: Pose2VideoStatic, x, t, ctx, posex,
+               banks, do_cfg: bool):
+    """Denoising-UNet dispatch: frame-sharded shard_map when configured
+    (flagship multi-chip path), sharding-constraint window DP when
+    `mesh_axis` is set, plain call otherwise."""
+    ucfg = st.cfg.denoising_unet
+    cs = x.shape[1]
+    if st.frame_axis is not None and st.mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = st.frame_axis
+        ndev = st.mesh.shape[ax]
+        assert cs % ndev == 0, (cs, ndev)
+
+        def local(du, x_l, pose_l, ctx_a, banks_a, t_a):
+            # per-device FLOPs scale with the local frame count: 1/n of
+            # the global work (asserted here at trace time)
+            assert x_l.shape[1] == cs // ndev
+            return U.unet3d_apply(du, ucfg, x_l, t_a, ctx_a, pose_l,
+                                  banks_a, cfg_split=do_cfg,
+                                  axis_name=ax, frames_global=cs)
+
+        return shard_map(
+            local, mesh=st.mesh,
+            in_specs=(P(), P(None, ax), P(None, ax), P(), P(), P()),
+            out_specs=P(None, ax), check_vma=False)(
+            params_du, x, posex, ctx, banks, t)
+
+    if st.mesh_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        spec = P(st.mesh_axis)
+        x = jax.lax.with_sharding_constraint(x, spec)
+        posex = jax.lax.with_sharding_constraint(posex, spec)
+        ctx = jax.lax.with_sharding_constraint(ctx, spec)
+        pred = U.unet3d_apply(params_du, ucfg, x, t, ctx, posex, banks,
+                              cfg_split=do_cfg)
+        return jax.lax.with_sharding_constraint(pred, P(st.mesh_axis))
+    return U.unet3d_apply(params_du, ucfg, x, t, ctx, posex, banks,
+                          cfg_split=do_cfg)
+
+
+def _decode_frames(params: Params, st: Pose2VideoStatic,
+                   z: jnp.ndarray) -> jnp.ndarray:
+    """VAE decode, frame-sharded over the mesh when configured (decode is
+    frame-parallel), frame-chunked otherwise."""
+    if st.frame_axis is not None and st.mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        return shard_map(
+            lambda vp, zz: V.decode(vp, st.cfg.vae, zz),
+            mesh=st.mesh, in_specs=(P(), P(st.frame_axis)),
+            out_specs=P(st.frame_axis), check_vma=False)(params["vae"], z)
+    return chunked_apply(lambda zz: V.decode(params["vae"], st.cfg.vae, zz),
+                         z, st.vae_chunk)
+
+
 def make_windows(st: Pose2VideoStatic) -> Tuple[np.ndarray, np.ndarray]:
     pcfg = st.cfg.pipeline
     return compute_windows(
@@ -117,17 +182,38 @@ def prepare_conditioning(
     ctx_cond = image_embeds[:, None, :]                            # (1,1,768)
     ctx_uncond = jnp.zeros_like(ctx_cond)
 
-    # VAE encodes: ref + all background frames, frame-chunked
-    enc_in = jnp.concatenate([ref_image[None], bk_video], axis=0)
-    latents = chunked_apply(
-        lambda x: V.encode_mean(params["vae"], cfg.vae, x), enc_in,
-        st.vae_chunk)
-    ref_latents = latents[:1]                                      # (1,h,w,4)
-    bk_latents = latents[1:]                                       # (F,h,w,4)
+    if st.frame_axis is not None and st.mesh is not None:
+        # frame-parallel encoders: VAE encode and pose guider are
+        # embarrassingly frame-parallel — shard_map splits the frame
+        # batch, no collectives; per-device memory bounds itself so the
+        # vae_chunk loop is unnecessary. The single ref frame is encoded
+        # replicated.
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = st.frame_axis
+        enc = shard_map(
+            lambda vp, fr: V.encode_mean(vp, cfg.vae, fr),
+            mesh=st.mesh, in_specs=(P(), P(ax)), out_specs=P(ax),
+            check_vma=False)
+        bk_latents = enc(params["vae"], bk_video)                  # (F,h,w,4)
+        ref_latents = V.encode_mean(params["vae"], cfg.vae,
+                                    ref_image[None])               # (1,h,w,4)
+        pose_fea = shard_map(
+            lambda pp, pv: PG.pose_guider_apply(pp, pv[None])[0],
+            mesh=st.mesh, in_specs=(P(), P(ax)), out_specs=P(ax),
+            check_vma=False)(params["pose_guider"], pose_video)
+    else:
+        # VAE encodes: ref + all background frames, frame-chunked
+        enc_in = jnp.concatenate([ref_image[None], bk_video], axis=0)
+        latents = chunked_apply(
+            lambda x: V.encode_mean(params["vae"], cfg.vae, x), enc_in,
+            st.vae_chunk)
+        ref_latents = latents[:1]                                  # (1,h,w,4)
+        bk_latents = latents[1:]                                   # (F,h,w,4)
 
-    # pose features at latent resolution
-    pose_fea = PG.pose_guider_apply(params["pose_guider"],
-                                    pose_video[None])[0]           # (F,h,w,C0)
+        # pose features at latent resolution
+        pose_fea = PG.pose_guider_apply(params["pose_guider"],
+                                        pose_video[None])[0]       # (F,h,w,C0)
 
     # reference UNet pass (t=0) writes banks; batch 2 = [uncond; cond]
     # (pipeline...roiclip.py:479-490)
@@ -202,18 +288,8 @@ def denoise(
         # 8-channel input: noise ‖ background latents
         # (pipeline...roiclip.py:522-525; DDIM scale_model_input is identity)
         x = jnp.concatenate([x, bkx], axis=-1)
-        if st.mesh_axis is not None:
-            from jax.sharding import PartitionSpec as P
-            spec = P(st.mesh_axis)
-            x = jax.lax.with_sharding_constraint(x, spec)
-            posex = jax.lax.with_sharding_constraint(posex, spec)
-            ctx = jax.lax.with_sharding_constraint(ctx, spec)
-        pred = U.unet3d_apply(params["denoising_unet"], ucfg, x, t, ctx,
-                              posex, banks, cfg_split=do_cfg)
-        if st.mesh_axis is not None:
-            from jax.sharding import PartitionSpec as P
-            pred = jax.lax.with_sharding_constraint(pred, P(st.mesh_axis))
-        return pred
+        return _unet_call(params["denoising_unet"], st, x, t, ctx, posex,
+                          banks, do_cfg)
 
     def step_fn(latents, step_idx):
         t = jnp.asarray(ddim.timesteps)[step_idx].astype(jnp.float32)
@@ -303,15 +379,8 @@ def denoise_one_step(params: Params, st: Pose2VideoStatic, ddim: DDIM,
             ctx = jnp.broadcast_to(cond["ctx_cond"],
                                    (chunk,) + cond["ctx_cond"].shape[1:])
         x = jnp.concatenate([x, bkx], axis=-1)
-        if st.mesh_axis is not None:
-            from jax.sharding import PartitionSpec as P
-            spec = P(st.mesh_axis)
-            x = jax.lax.with_sharding_constraint(x, spec)
-            posex = jax.lax.with_sharding_constraint(posex, spec)
-            ctx = jax.lax.with_sharding_constraint(ctx, spec)
-        return U.unet3d_apply(params["denoising_unet"], cfg.denoising_unet,
-                              x, t, ctx, posex, cond["cond_banks"],
-                              cfg_split=do_cfg)
+        return _unet_call(params["denoising_unet"], st, x, t, ctx, posex,
+                          cond["cond_banks"], do_cfg)
 
     nsum_u = jnp.zeros(latents.shape, jnp.float32)
     nsum_c = jnp.zeros(latents.shape, jnp.float32)
@@ -352,8 +421,7 @@ def make_jit_cache(st: Pose2VideoStatic, cache: Optional[dict] = None) -> dict:
         cache["prepare"] = jax.jit(lambda p, a, b, c, d: prepare_conditioning(
             p, st, a, b, c, d))
         cache["decode"] = jax.jit(lambda p, z: jnp.clip(
-            chunked_apply(lambda zz: V.decode(p["vae"], st.cfg.vae, zz), z,
-                          st.vae_chunk) * 0.5 + 0.5, 0.0, 1.0))
+            _decode_frames(p, st, z) * 0.5 + 0.5, 0.0, 1.0))
 
     def step_fn(dp, cond, lat, i):
         return denoise_one_step({"denoising_unet": dp}, st, ddim, cond, lat,
@@ -410,9 +478,7 @@ def generate_fn(params: Params, st: Pose2VideoStatic,
         from mimo_tpu.pipelines.interp import interpolate_latents
         latents = interpolate_latents(latents, st.interpolation_factor,
                                       st.interpolation_mode)
-    images = chunked_apply(
-        lambda z: V.decode(params["vae"], st.cfg.vae, z), latents,
-        st.vae_chunk)
+    images = _decode_frames(params, st, latents)
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
 
 

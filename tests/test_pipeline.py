@@ -128,3 +128,41 @@ def test_sharded_matches_single_device():
                 p, st_sharded, a, b, c, d, e)
         )(params_r, *inputs_r))
     np.testing.assert_allclose(baseline, sharded, atol=2e-5)
+
+
+def test_frame_sharded_matches_single_device():
+    """Frame-axis parallelism (the flagship single-window path, VERDICT r2
+    #3): frames sharded over the 8-device CPU mesh through VAE/pose/UNet
+    via shard_map, temporal attention resharding via all-to-all (or the
+    all-gather fallback when S doesn't divide the mesh — the tiny config's
+    deeper levels hit exactly that branch). Must match unsharded output."""
+    import dataclasses
+    cfg = C.tiny_mimo_config()
+    # one window: context_frames >= F
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, context_frames=8))
+    F, H, W = 8, 32, 32
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+    ndev = len(jax.devices())
+    assert ndev == 8
+
+    st = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5)
+    windows, _ = pose2vid.make_windows(st)
+    assert windows.shape[0] == 1, "test needs the single-window shape"
+    baseline = np.asarray(pose2vid.generate_fn(params, st, *inputs))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    st_fs = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=2,
+        guidance_scale=3.5, frame_axis="data", mesh=mesh)
+    repl = NamedSharding(mesh, P())
+    params_r = jax.device_put(params, repl)
+    inputs_r = jax.device_put(inputs, repl)
+    sharded = np.asarray(jax.jit(
+        lambda p, a, b, c, d, e: pose2vid.generate_fn(
+            p, st_fs, a, b, c, d, e)
+    )(params_r, *inputs_r))
+    np.testing.assert_allclose(baseline, sharded, atol=2e-5)
