@@ -40,17 +40,41 @@ from mimo_tpu.decomp.occlusion import sample_mask_points
 from mimo_tpu.weights.convert import load_npz
 
 
-def _maybe(path: str):
-    return load_npz(path) if os.path.exists(path) else None
+def _maybe(path: str, dtype=None):
+    """Load an npz bundle as DEVICE arrays. load_npz returns host numpy
+    arrays, which silently work in eager ops but break under jit whenever
+    a param is indexed with a traced array (np.asarray on a tracer — hit
+    by SAM's rel-pos tables). Float params are cast to `dtype` when given
+    (bf16 inference, matching the reference's autocast)."""
+    if not os.path.exists(path):
+        return None
+    import jax
+
+    def leaf(x):
+        if x is None:
+            return None
+        arr = np.asarray(x)
+        if not np.issubdtype(arr.dtype, np.number):
+            # structural metadata (e.g. the depth head's resize 'kind'
+            # strings) stays host-side
+            return arr.item() if arr.ndim == 0 else arr
+        out = jnp.asarray(arr)
+        if dtype is not None and jnp.issubdtype(out.dtype, jnp.floating):
+            out = out.astype(dtype)
+        return out
+
+    return jax.tree.map(leaf, load_npz(path))
 
 
-def build_decomp_models(weights_dir: str,
-                        dtype=jnp.bfloat16) -> DP.DecompModels:
+def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
+                        tiny: bool = False) -> DP.DecompModels:
+    """tiny=True pairs with `gen_decomp_weights.py --tiny` bundles (the
+    CPU smoke-test sizes); default configs are the real architectures."""
     models = DP.DecompModels()
 
-    sam_params = _maybe(os.path.join(weights_dir, "sam.npz"))
+    sam_params = _maybe(os.path.join(weights_dir, "sam.npz"), dtype)
     if sam_params is not None:
-        sam_cfg = SAM.SAMConfig()
+        sam_cfg = SAM.tiny_sam_config() if tiny else SAM.SAMConfig()
         predictor = SAM.SamPredictor(sam_params, sam_cfg)
 
         def segment_box(frame, bbox):
@@ -62,9 +86,9 @@ def build_decomp_models(weights_dir: str,
         models.automask = lambda frame: SAM.automatic_masks(
             predictor, frame, points_per_side=32)
 
-    sam2_params = _maybe(os.path.join(weights_dir, "sam2.npz"))
+    sam2_params = _maybe(os.path.join(weights_dir, "sam2.npz"), dtype)
     if sam2_params is not None:
-        s2cfg = SAM2.SAM2Config()
+        s2cfg = SAM2.tiny_sam2_config() if tiny else SAM2.SAM2Config()
 
         def track(frames, seed_mask, seed_frame):
             pts = sample_mask_points(seed_mask, n=5)
@@ -74,8 +98,8 @@ def build_decomp_models(weights_dir: str,
 
         models.track_video = track
 
-    vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"))
-    vp_cfg = VP.ViTPoseConfig()
+    vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"), dtype)
+    vp_cfg = VP.tiny_vitpose_config() if tiny else VP.ViTPoseConfig()
     if vp_params is not None:
         import jax
 
@@ -97,13 +121,13 @@ def build_decomp_models(weights_dir: str,
             models.detect_person = PoseScoredDetector(
                 automask=models.automask, estimate_pose=estimate_pose)
 
-    depth_params = _maybe(os.path.join(weights_dir, "depth.npz"))
+    depth_params = _maybe(os.path.join(weights_dir, "depth.npz"), dtype)
     if depth_params is not None:
-        dcfg = DA.DepthAnythingConfig()
+        dcfg = DA.tiny_depth_config() if tiny else DA.DepthAnythingConfig()
         models.depth = lambda frame: np.asarray(DA.infer_depth(
             depth_params, dcfg, jnp.asarray(frame, jnp.float32) / 255.0))
 
-    hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"))
+    hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"), dtype)
     smpl_path = next((p for p in (
         os.path.join(weights_dir, "smpl.npz"),
         os.path.join(weights_dir, "smpl.pkl")) if os.path.exists(p)), None)
@@ -115,17 +139,18 @@ def build_decomp_models(weights_dir: str,
         sdc_colors = np.load(sdc_path) if os.path.exists(sdc_path) else None
         est = MO.MotionEstimator(
             vitpose_params=vp_params, vitpose_cfg=vp_cfg,
-            hmr_params=hmr_params, hmr_cfg=HMR.HMRConfig(),
-            hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz")),
-            hamer_cfg=HMR.hamer_config(),
+            hmr_params=hmr_params,
+            hmr_cfg=HMR.tiny_hmr_config() if tiny else HMR.HMRConfig(),
+            hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz"), dtype),
+            hamer_cfg=HMR.tiny_hmr_config() if tiny else HMR.hamer_config(),
             smpl_model=smpl_model, sdc_colors=sdc_colors)
         models.estimate_motion = est.estimate_motion
 
-    raft_params = _maybe(os.path.join(weights_dir, "raft.npz"))
-    pp_params = _maybe(os.path.join(weights_dir, "propainter.npz"))
+    raft_params = _maybe(os.path.join(weights_dir, "raft.npz"), dtype)
+    pp_params = _maybe(os.path.join(weights_dir, "propainter.npz"), dtype)
     if raft_params is not None and pp_params is not None:
-        pcfg = PP.ProPainterConfig()
-        rcfg = RAFT.RAFTConfig()
+        pcfg = PP.tiny_propainter_config() if tiny else PP.ProPainterConfig()
+        rcfg = RAFT.tiny_raft_config() if tiny else RAFT.RAFTConfig()
 
         def inpaint(frames01, masks):
             return PP.inpaint_video(pp_params, pcfg, raft_params, rcfg,
@@ -146,9 +171,16 @@ def main():
     ap.add_argument("--weights-dir", required=True)
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--max-frames", type=int, default=150)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny test configs (gen_decomp_weights.py --tiny)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (overrides the TPU plugin)")
     args = ap.parse_args()
 
-    models = build_decomp_models(args.weights_dir)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    models = build_decomp_models(args.weights_dir, tiny=args.tiny)
     cfg = DP.DecompConfig(target_fps=args.fps, max_frames=args.max_frames)
     vp = DP.VideoProcessor(models, cfg)
     result = vp.run(args.video, args.output)

@@ -268,6 +268,8 @@ def _second_order_prop(p: Params, x: jnp.ndarray, reverse: bool,
         bb = p[backbone_key]
         r = jax.nn.leaky_relu(L.conv2d(bb[0], feat[None], padding=1), 0.1)
         feat_prop = feat_prop + L.conv2d(bb[1], r, padding=1)[0]
+        # deform-align/warp fp32 grid math promotes bf16; pin the carry
+        feat_prop = feat_prop.astype(cur.dtype)
         return (i + 1, feat_prop, prev1), feat_prop
 
     init = (jnp.asarray(0), jnp.zeros((h, w, c), x.dtype),
@@ -391,6 +393,11 @@ def img_propagation(frames: jnp.ndarray, flows_f: jnp.ndarray,
             use_prop = (i > 0).astype(cur.dtype)
             out_feat = use_prop * new_feat + (1 - use_prop) * cur
             out_mask = use_prop * new_mask + (1 - use_prop) * mcur
+            # flow_warp's fp32 grid arithmetic promotes bf16 inputs; pin
+            # the carry dtype or the scan rejects the carry (found driving
+            # the factory path with bf16 params)
+            out_feat = out_feat.astype(cur.dtype)
+            out_mask = out_mask.astype(mcur.dtype)
             return (i + 1, out_feat, out_mask), (out_feat, out_mask)
 
         # frame at traversal step i consumes flow slot i-1 in traversal
@@ -451,6 +458,7 @@ def feat_propagation(p: Params, cfg: ProPainterConfig, feats: jnp.ndarray,
             bb = p[bkey]
             r = _lrelu(L.conv2d(bb[0], feat, padding=1))
             fprop = fprop + L.conv2d(bb[1], r, padding=1)[0]
+            fprop = fprop.astype(cur.dtype)      # pin the scan carry dtype
             return (i + 1, fprop), fprop
 
         init = (jnp.asarray(0), jnp.zeros_like(x[0]))

@@ -1,0 +1,146 @@
+"""Per-stage wall-clock profile of the decomposition half (VERDICT r2 #5).
+
+Runs every decomp stage at realistic resolution with real-architecture
+models (random weights via tools/gen_decomp_weights.py — identical FLOPs
+to the published checkpoints) and prints a stage ledger:
+
+  track      first-frame SAM segment + SAM2 video propagation
+  pose       ViTPose wholebody per frame (flip-test)
+  motion     HMR2 + HaMeR + SMPL-H LBS + SDC rasterization per frame
+  bk         RAFT flows + ProPainter inpaint (480p working size)
+  occ        SAM automask + DepthAnythingV2 per keyframe
+
+Gating decisions (person detection, full-body check, occluder thresholds)
+are bypassed with synthetic masks/boxes — random weights would reject
+everything and skip the compute this tool exists to measure.
+
+Usage:
+  python tools/profile_decomp.py --weights-dir /tmp/decomp_weights \
+      [--tiny] [--cpu] [--frames 48] [--height 720] [--width 480]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_frames(T, H, W, seed=0):
+    """Moving person-ish figure over a textured background."""
+    rng = np.random.default_rng(seed)
+    bg = (rng.uniform(40, 200, (H, W, 3))).astype(np.uint8)
+    frames, masks, boxes = [], [], []
+    pw, ph = W // 4, int(H * 0.7)
+    for t in range(T):
+        f = bg.copy()
+        x0 = int((W - pw) * (0.2 + 0.6 * t / max(1, T - 1)))
+        y0 = int(H * 0.15)
+        f[y0:y0 + ph, x0:x0 + pw] = (180, 140, 110)
+        f[y0:y0 + ph // 5, x0 + pw // 4:x0 + 3 * pw // 4] = (210, 170, 140)
+        m = np.zeros((H, W), bool)
+        m[y0:y0 + ph, x0:x0 + pw] = True
+        frames.append(f)
+        masks.append(m)
+        boxes.append([x0, y0, x0 + pw, y0 + ph])
+    return frames, np.stack(masks), np.asarray(boxes, np.int64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights-dir", default="/tmp/decomp_weights")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--stages", default="track,pose,motion,bk,occ")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))),
+                          ".jax_cache_tpu" if not args.cpu
+                          else "tests/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    from mimo_tpu.decomp.factory import build_decomp_models
+    from mimo_tpu.decomp import pipeline as DP
+
+    T0 = time.time()
+    models = build_decomp_models(args.weights_dir, tiny=args.tiny)
+    print(f"[{time.time() - T0:7.1f}s] models loaded", flush=True)
+
+    T, H, W = args.frames, args.height, args.width
+    frames, masks, boxes = synth_frames(T, H, W)
+    stages = args.stages.split(",")
+    ledger = {}
+
+    def stage(name, fn):
+        if name not in stages:
+            return None
+        t = time.time()
+        try:
+            out = fn()
+        except Exception as e:
+            dt = time.time() - t
+            ledger[name] = (dt, f"FAILED {type(e).__name__}: {str(e)[:200]}")
+            print(f"[{time.time() - T0:7.1f}s] {name}: FAILED after "
+                  f"{dt:.1f}s — {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            return None
+        dt = time.time() - t
+        ledger[name] = (dt, "ok")
+        print(f"[{time.time() - T0:7.1f}s] {name}: {dt:.1f}s "
+              f"({dt / T * 1000:.0f} ms/frame)", flush=True)
+        return out
+
+    # --- track: first-frame SAM + SAM2 propagation ----------------------
+    if models.segment_box is not None:
+        stage("track", lambda: (
+            models.segment_box(frames[0], boxes[0]),
+            models.track_video(frames, masks[0], 0)
+            if models.track_video else None))
+
+    # --- pose: ViTPose per frame ----------------------------------------
+    if models.estimate_pose is not None:
+        stage("pose", lambda: [models.estimate_pose(frames[i], boxes[i])
+                               for i in range(T)])
+
+    # --- motion: HMR/HaMeR/SMPL/render ----------------------------------
+    if models.estimate_motion is not None:
+        stage("motion", lambda: models.estimate_motion(frames, masks, boxes))
+
+    # --- bk: RAFT + ProPainter ------------------------------------------
+    if models.inpaint is not None:
+        vp = DP.VideoProcessor(models, DP.DecompConfig())
+        stage("bk", lambda: vp.get_bk_recover(frames, masks))
+
+    # --- occ: automask + depth on keyframes -----------------------------
+    def occ_stage():
+        outs = []
+        for kf in (0, T // 2):
+            if models.automask is not None:
+                outs.append(("automask", len(models.automask(frames[kf]))))
+            if models.depth is not None:
+                outs.append(("depth", models.depth(frames[kf]).shape))
+        return outs
+
+    if models.automask is not None or models.depth is not None:
+        stage("occ", occ_stage)
+
+    print("\n== decomp stage ledger "
+          f"({T}f {H}x{W}, {jax.default_backend()}) ==")
+    for name, (dt, status) in ledger.items():
+        print(f"  {name:8s} {dt:8.1f}s   {status}")
+
+
+if __name__ == "__main__":
+    main()
