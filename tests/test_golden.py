@@ -67,3 +67,52 @@ def test_generation_matches_recorded_golden():
     s = v.std(axis=(1, 2, 3))
     np.testing.assert_allclose(m, GOLDEN_MEAN, atol=1e-4)
     np.testing.assert_allclose(s, GOLDEN_STD, atol=1e-4)
+
+
+# Per-block activation goldens (VERDICT r2 weak #6): the e2e mean/std golden
+# can be fooled by a compensating pair of numeric bugs; these pin the tiny
+# denoising UNet's intermediate activations block by block. Recorded with
+# tests/..: the recording snippet lives in the repo history (round 3,
+# "per-block checksum goldens"); re-record only for INTENDED semantic
+# changes and say why in the commit message.
+# name -> (mean, mean(|x|)) of the block output, fp64, CPU.
+GOLDEN_BLOCKS = {
+    "down3": (4.1432921824e-03, 3.3768451870e-01),
+    "down5": (-2.4182543403e-02, 2.1637118455e-01),
+    "down7": (1.6561838895e-02, 1.7874276415e-01),
+    "down8": (-2.6807856812e-03, 1.8940836906e-01),
+    "mid": (-4.7484789306e-02, 4.2331871387e-01),
+    "up6": (7.3795739791e-03, 6.6528680469e-02),
+    "up4": (-8.3753173154e-03, 2.2862188621e-01),
+    "up2": (-3.1988478889e-02, 2.3831180047e-01),
+    "up0": (6.3563742309e-02, 5.0378203346e-01),
+    "out": (-9.0988840606e-02, 2.7426960753e-01),
+}
+
+
+def test_per_block_activation_goldens():
+    from mimo_tpu.models import unet as U
+    cfg = C.tiny_mimo_config()
+    params = U.unet_init(jax.random.split(jax.random.PRNGKey(1), 1)[0],
+                         cfg.denoising_unet)
+    F, H, W = 4, 8, 8
+    kk = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(kk[0], (1, F, H, W, 8))
+    t = jnp.asarray(421.0)
+    ctx = jax.random.normal(
+        kk[1], (1, 1, cfg.denoising_unet.cross_attention_dim))
+    taps = {}
+    U._TAP = lambda name, h: taps.__setitem__(name, np.asarray(h, np.float64))
+    try:
+        out = U.unet3d_apply(params, cfg.denoising_unet, x, t, ctx,
+                             None, None)
+    finally:
+        U._TAP = None
+    taps["out"] = np.asarray(out, np.float64)
+    assert set(taps) == set(GOLDEN_BLOCKS), (sorted(taps),
+                                             sorted(GOLDEN_BLOCKS))
+    for name, (gm, ga) in GOLDEN_BLOCKS.items():
+        a = taps[name]
+        np.testing.assert_allclose(a.mean(), gm, atol=2e-6, err_msg=name)
+        np.testing.assert_allclose(np.abs(a).mean(), ga, atol=2e-6,
+                                   err_msg=name)
