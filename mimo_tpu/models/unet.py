@@ -51,6 +51,10 @@ from mimo_tpu.models import layers as L
 
 Params = Dict[str, Any]
 
+# A/B kill switch for the (S, N, C) conv-layout token path in the spatial
+# transformer (tools/ab_snc_token.py flips it); production default on.
+SNC_TOKEN_PATH = True
+
 # ---------------------------------------------------------------------------
 # resnet block (time-conditioned)
 # ---------------------------------------------------------------------------
@@ -116,15 +120,20 @@ def spatial_transformer_init(key, channels: int, ctx_dim: int,
 def _attn_banked_qkv(p_attn: Params, q: jnp.ndarray, k: jnp.ndarray,
                      v: jnp.ndarray, bank: Optional[jnp.ndarray],
                      heads: int, cfg_split: bool,
-                     residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     residual: Optional[jnp.ndarray] = None,
+                     snc: bool = False) -> jnp.ndarray:
     """Banked attention core over pre-projected q/k/v (N, S, inner).
     With `residual`, returns residual + to_out(attn) (the out-projection
-    and skip fused into one Pallas GEMM on TPU)."""
+    and skip fused into one Pallas GEMM on TPU).
+
+    snc: q/k/v and the attention itself stay NATURAL (the flash kernel's
+    layout), but `residual` and the result are (S, N, C) logical
+    transposes (conv-layout trick — see ops/ffn.py): the fused
+    out-projection kernel converts layout on its VMEM tile."""
+    from mimo_tpu.ops.attention import dispatch_sdpa, dispatch_sdpa_banked
     if bank is None:
-        o = L.sdpa(q, k, v, heads)
+        o = dispatch_sdpa(q, k, v, heads)
     else:
-        from mimo_tpu.ops.attention import (dispatch_sdpa,
-                                            dispatch_sdpa_banked)
         kb = L.linear(p_attn["to_k"], bank[None])  # (1, Lb, inner)
         vb = L.linear(p_attn["to_v"], bank[None])
         n = q.shape[0]
@@ -142,10 +151,11 @@ def _attn_banked_qkv(p_attn: Params, q: jnp.ndarray, k: jnp.ndarray,
     if residual is None:
         return L.linear(p_attn["to_out"], o)
     from mimo_tpu.ops.ffn import matmul_bias_residual
-    out = matmul_bias_residual(o, p_attn["to_out"], residual)
+    out = matmul_bias_residual(o, p_attn["to_out"], residual, snc=snc)
     if out is not None:
         return out
-    return residual + L.linear(p_attn["to_out"], o)
+    proj = L.linear(p_attn["to_out"], o)
+    return residual + (jnp.transpose(proj, (1, 0, 2)) if snc else proj)
 
 
 def _self_attn_banked(p_attn: Params, x_norm: jnp.ndarray,
@@ -195,16 +205,38 @@ def spatial_transformer_apply(
     h = L.conv2d(p["proj_in"], h, padding=0)
     tokens = h.reshape(n, hgt * wid, c)
 
-    # --- basic transformer block ---
+    # SNC mode: the token tensor lives in the (S, N, C) logical transpose
+    # (bitcasts against the conv-activation layout — no XLA relayout at
+    # the proj_in/proj_out conv boundaries), while q/k/v and the flash
+    # attention stay natural row-major (the flash kernel's proven layout).
+    # The fused qkv kernel converts SNC->natural and the fused
+    # out-projection kernel converts natural->SNC on their VMEM tiles, so
+    # no HBM relayout pass exists anywhere in the block. Only where the
+    # flash path is guaranteed (long sequences, UNet head dims) and the
+    # fused-qkv kernel applies; reference-write mode keeps the natural
+    # path (it runs once per clip, and the bank append needs natural
+    # norm1 tokens).
+    from mimo_tpu.ops.attention import FLASH_MIN_Q
     from mimo_tpu.ops.ffn import qkv_ln_fused
+    snc = (SNC_TOKEN_PATH and bank_out is None
+           and jax.default_backend() == "tpu"
+           and hgt * wid >= FLASH_MIN_Q and (c // cfg.num_heads) % 8 == 0
+           and c // cfg.num_heads <= 160)
+    if snc:
+        tokens = jnp.transpose(tokens, (1, 0, 2))     # (S, N, C) bitcast
+
+    # --- basic transformer block ---
     fused_qkv = None if bank_out is not None else \
-        qkv_ln_fused(tokens, p["norm1"], p["attn1"])
+        qkv_ln_fused(tokens, p["norm1"], p["attn1"], snc=snc)
     if fused_qkv is not None:
         q, kk, vv = fused_qkv
         tokens = _attn_banked_qkv(p["attn1"], q, kk, vv, bank_in,
                                   cfg.num_heads, cfg_split,
-                                  residual=tokens)
+                                  residual=tokens, snc=snc)
     else:
+        if snc:                       # fused kernel unavailable: fall back
+            tokens = jnp.transpose(tokens, (1, 0, 2))
+            snc = False
         # reference-write mode needs norm1 materialized for the bank
         norm1 = L.layer_norm(p["norm1"], tokens)
         if bank_out is not None:
@@ -213,21 +245,34 @@ def spatial_transformer_apply(
                                   cfg_split)
         tokens = tokens + attn1
 
-    norm2 = L.layer_norm(p["norm2"], tokens)
     if ctx.shape[1] == 1:
-        attn2 = _cross_attn_single_token(p["attn2"], norm2, ctx)
+        # single-token cross-attn: softmax over 1 key == 1, so the output
+        # is to_out(to_v(ctx)) broadcast over queries — norm2(x) is
+        # mathematically dead (models/unet.py::_cross_attn_single_token)
+        attn2 = _cross_attn_single_token(p["attn2"], None, ctx)  # (N, 1, C)
+        tokens = tokens + (jnp.transpose(attn2, (1, 0, 2)) if snc else attn2)
     else:
-        attn2 = L.mha(p["attn2"], norm2, ctx, cfg.num_heads)
-    tokens = tokens + attn2
+        if snc:
+            norm2 = L.layer_norm(p["norm2"],
+                                 jnp.transpose(tokens, (1, 0, 2)))
+            attn2 = L.mha(p["attn2"], norm2, ctx, cfg.num_heads)
+            tokens = tokens + jnp.transpose(attn2, (1, 0, 2))
+        else:
+            norm2 = L.layer_norm(p["norm2"], tokens)
+            attn2 = L.mha(p["attn2"], norm2, ctx, cfg.num_heads)
+            tokens = tokens + attn2
 
     from mimo_tpu.ops.ffn import ffn_ln_geglu_fused
-    ff_out = ffn_ln_geglu_fused(tokens, p["norm3"], p["ff"], snc=True)
+    ff_out = ffn_ln_geglu_fused(tokens, p["norm3"], p["ff"], snc=True,
+                                pre_transposed=snc)
     if ff_out is not None:
         tokens = ff_out
     else:
         norm3 = L.layer_norm(p["norm3"], tokens)
         tokens = tokens + L.geglu_ff(p["ff"], norm3)
 
+    if snc:
+        tokens = jnp.transpose(tokens, (1, 0, 2))     # back to (N, S, C)
     h = tokens.reshape(n, hgt, wid, c)
     h = L.conv2d(p["proj_out"], h, padding=0)
     return h + residual

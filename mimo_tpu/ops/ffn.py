@@ -229,12 +229,77 @@ def _qkv_ln_pallas(x2d, scale, bias, w3, eps: float):
     )(x2d, scale.reshape(1, c), bias.reshape(1, c), w3)
 
 
+def _snc_block(s: int, n: int) -> int:
+    """S-axis block for kernels whose NATURAL-layout operands are blocked
+    (n, bs, ...): bs sits on the sublane axis there, so it must be an
+    8-multiple (or divide S exactly so the edge write stays inside the
+    8-padded allocation). Prefer a dividing 8-multiple near 512//n rows."""
+    for bs in (32, 16, 8):
+        if s % bs == 0:
+            return bs
+    return 8
+
+
+def _qkv_ln_snc_kernel(x_ref, scale_ref, bias_ref, w_ref, q_ref, k_ref,
+                       v_ref, *, eps: float):
+    """Layout-converting fused LN+QKV: the input block is an (S, N, C)
+    conv-layout slab (bitcasts against the proj_in conv's output — no XLA
+    relayout), the q/k/v output blocks are natural (N, bs, inner) row-major
+    (exactly what the flash kernel's operands require — no relayout on
+    that side either). The transpose happens on the VMEM-resident result
+    tile, where it is a register shuffle instead of an HBM round-trip."""
+    bs, n, c = x_ref.shape
+    xa = x_ref[:].reshape(bs * n, c).astype(jnp.float32)
+    cf = jnp.float32(c)
+    mean = jnp.sum(xa, axis=1, keepdims=True) / cf
+    var = jnp.sum(xa * xa, axis=1, keepdims=True) / cf - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    ln = ((xa - mean) * inv * scale_ref[0].astype(jnp.float32)
+          + bias_ref[0].astype(jnp.float32)).astype(q_ref.dtype)
+    out = jax.lax.dot_general(
+        ln, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    inner = q_ref.shape[2]
+    out = jnp.transpose(out.reshape(bs, n, 3 * inner), (1, 0, 2))
+    q_ref[:] = out[:, :, :inner]
+    k_ref[:] = out[:, :, inner:2 * inner]
+    v_ref[:] = out[:, :, 2 * inner:]
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _qkv_ln_pallas_snc(x_t, scale, bias, w3, eps: float):
+    """x_t: (S, N, C) logical transpose of the token tensor (conv layout).
+    Returns NATURAL (N, S, inner) q/k/v — see _qkv_ln_snc_kernel."""
+    s, n, c = x_t.shape
+    inner = w3.shape[1] // 3
+    bs = _snc_block(s, n)
+    nblk = -(-s // bs)
+    out_sd = jax.ShapeDtypeStruct((n, s, inner), x_t.dtype)
+    return pl.pallas_call(
+        functools.partial(_qkv_ln_snc_kernel, eps=eps),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bs, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * inner), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((n, bs, inner), lambda i: (0, i, 0))] * 3,
+        out_shape=[out_sd, out_sd, out_sd],
+        compiler_params=_PARAMS,
+    )(x_t, scale.reshape(1, c), bias.reshape(1, c), w3)
+
+
 def qkv_ln_fused(x: jnp.ndarray, ln_p, attn_p,
-                 eps: float = 1e-5) -> Optional[tuple]:
+                 eps: float = 1e-5, snc: bool = False) -> Optional[tuple]:
     """(q, k, v) = to_{q,k,v}(LN(x)) over an (N, S, C) token tensor via a
     single fused kernel, or None when it doesn't apply (caller falls back
     to layer_norm + three linears). to_q/to_k/to_v must be bias-free
-    (diffusers Attention convention — layers.mha_init)."""
+    (diffusers Attention convention — layers.mha_init).
+
+    snc: x is already the (S, N, C) logical transpose (conv layout trick);
+    outputs are NATURAL (N, S, inner) — the layout the flash kernel's
+    operands need, so neither side of this call pays an XLA relayout."""
     if jax.default_backend() != "tpu":
         return None
     if any("bias" in attn_p[k] for k in ("to_q", "to_k", "to_v")):
@@ -246,6 +311,9 @@ def qkv_ln_fused(x: jnp.ndarray, ln_p, attn_p,
     w3 = jnp.concatenate([attn_p["to_q"]["kernel"],
                           attn_p["to_k"]["kernel"],
                           attn_p["to_v"]["kernel"]], axis=1).astype(x.dtype)
+    if snc:
+        assert x.ndim == 3
+        return _qkv_ln_pallas_snc(x, ln_p["scale"], ln_p["bias"], w3, eps)
     q, k, v = _qkv_ln_pallas(x.reshape(r, c), ln_p["scale"], ln_p["bias"],
                              w3, eps)
     shape = x.shape[:-1] + (w3.shape[1] // 3,)
@@ -286,9 +354,11 @@ def _matmul_pallas(x2d, w, b):
     )(x2d, w, b.reshape(1, n))
 
 
-def matmul_bias(x: jnp.ndarray, lin_p) -> Optional[jnp.ndarray]:
+def matmul_bias(x: jnp.ndarray, lin_p,
+                snc: bool = False) -> Optional[jnp.ndarray]:
     """linear(lin_p, x) as a resident-weight Pallas GEMM, or None (caller
-    falls back to layers.linear)."""
+    falls back to layers.linear). snc: x is a (S, N, K) logical transpose
+    (conv layout trick)."""
     if jax.default_backend() != "tpu":
         return None
     kdim = x.shape[-1]
@@ -299,6 +369,10 @@ def matmul_bias(x: jnp.ndarray, lin_p) -> Optional[jnp.ndarray]:
     b = lin_p.get("bias")
     if b is None:
         b = jnp.zeros((n,), x.dtype)
+    if snc:
+        assert x.ndim == 3
+        return _matmul_pallas_snc(x, lin_p["kernel"].astype(x.dtype),
+                                  b.astype(x.dtype))
     y = _matmul_pallas(x.reshape(r, kdim), lin_p["kernel"].astype(x.dtype),
                        b.astype(x.dtype))
     return y.reshape(x.shape[:-1] + (n,))
@@ -325,11 +399,83 @@ def _matmul_res_pallas(x2d, w, b, res2d):
     )(x2d, w, b.reshape(1, n), res2d)
 
 
-def matmul_bias_residual(x: jnp.ndarray, lin_p, res: jnp.ndarray
-                         ) -> Optional[jnp.ndarray]:
+def _matmul_snc_kernel(x_ref, w_ref, b_ref, out_ref):
+    bs, n, kdim = x_ref.shape
+    y = jax.lax.dot_general(
+        x_ref[:].reshape(bs * n, kdim), w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    out_ref[:] = (y + b_ref[0]).reshape(bs, n, -1)
+
+
+def _matmul_res_snc_kernel(x_ref, w_ref, b_ref, res_ref, out_ref):
+    """Layout-converting out-projection+residual: x is a NATURAL
+    (N, bs, K) block (the flash kernel's row-major output — no relayout),
+    res/out are (S, N, C) conv-layout slabs (bitcast against the
+    downstream conv). The transpose rides the VMEM tile."""
+    n, bs, kdim = x_ref.shape
+    xt = jnp.transpose(x_ref[:], (1, 0, 2)).reshape(bs * n, kdim)
+    y = jax.lax.dot_general(
+        xt, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    cout = out_ref.shape[2]
+    out_ref[:] = (y + b_ref[0]).reshape(bs, n, cout) + res_ref[:]
+
+
+@jax.jit
+def _matmul_pallas_snc(x_t, w, b):
+    s, nb, kdim = x_t.shape
+    n = w.shape[1]
+    bs = max(1, min(512 // nb, s))
+    nblk = -(-s // bs)
+    return pl.pallas_call(
+        _matmul_snc_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bs, nb, kdim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((kdim, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, nb, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((s, nb, n), x_t.dtype),
+        compiler_params=_PARAMS,
+    )(x_t, w, b.reshape(1, n))
+
+
+@jax.jit
+def _matmul_res_pallas_snc(x, w, b, res_t):
+    """x: NATURAL (N, S, K); res_t/result: (S, N, Cout) conv-layout
+    logical transposes — see _matmul_res_snc_kernel."""
+    nb, s, kdim = x.shape
+    n = w.shape[1]
+    bs = _snc_block(s, nb)
+    nblk = -(-s // bs)
+    return pl.pallas_call(
+        _matmul_res_snc_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nb, bs, kdim), lambda i: (0, i, 0)),
+            pl.BlockSpec((kdim, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((bs, nb, n), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, nb, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((s, nb, n), x.dtype),
+        compiler_params=_PARAMS,
+    )(x, w, b.reshape(1, n), res_t)
+
+
+def matmul_bias_residual(x: jnp.ndarray, lin_p, res: jnp.ndarray,
+                         snc: bool = False) -> Optional[jnp.ndarray]:
     """res + linear(lin_p, x) over (..., K) with the weight VMEM-resident
     (the attention out-projection + residual add; ~77 TFLOP/s as an XLA
-    add_add fusion, ~130 as a Pallas GEMM). None -> caller falls back."""
+    add_add fusion, ~130 as a Pallas GEMM). None -> caller falls back.
+
+    snc: x is NATURAL (N, S, K) (the flash kernel's row-major output);
+    res and the result are (S, N, Cout) logical transposes (conv layout
+    trick) — the kernel converts layout on the VMEM tile so neither the
+    attention side nor the conv side pays an XLA relayout."""
     if jax.default_backend() != "tpu":
         return None
     kdim = x.shape[-1]
@@ -340,6 +486,10 @@ def matmul_bias_residual(x: jnp.ndarray, lin_p, res: jnp.ndarray
     b = lin_p.get("bias")
     if b is None:
         b = jnp.zeros((n,), x.dtype)
+    if snc:
+        assert x.ndim == 3 and res.ndim == 3
+        return _matmul_res_pallas_snc(x, lin_p["kernel"].astype(x.dtype),
+                                      b.astype(x.dtype), res)
     y = _matmul_res_pallas(x.reshape(r, kdim),
                            lin_p["kernel"].astype(x.dtype),
                            b.astype(x.dtype), res.reshape(r, n))
@@ -347,14 +497,19 @@ def matmul_bias_residual(x: jnp.ndarray, lin_p, res: jnp.ndarray
 
 
 def ffn_ln_geglu_fused(x: jnp.ndarray, ln_p, ff_p, eps: float = 1e-5,
-                       snc: bool = False) -> Optional[jnp.ndarray]:
+                       snc: bool = False,
+                       pre_transposed: bool = False) -> Optional[jnp.ndarray]:
     """x + proj_out(geglu(proj_in(LN(x)))) over the trailing axis of an
     (N, S, C) / (..., C) tensor, or None when the kernel doesn't apply
     (caller falls back to the XLA path).
 
     ln_p: {scale, bias}; ff_p: {proj_in: {kernel, bias},
     proj_out: {kernel, bias}} (layers.geglu_ff_init layout).
-    snc: use the transposed-layout variant (3-D (N, S, C) inputs only).
+    snc: route through the (S, N, C)-layout kernel (conv-layout trick).
+    With pre_transposed, x IS the transpose already (same convention as
+    qkv_ln_fused/matmul_bias) and the result stays transposed; otherwise
+    x is natural (N, S, C) and the transposes happen here (XLA folds them
+    into the surrounding layout assignment).
     """
     if jax.default_backend() != "tpu":
         return None
@@ -367,9 +522,11 @@ def ffn_ln_geglu_fused(x: jnp.ndarray, ln_p, ff_p, eps: float = 1e-5,
     wd = ff_p["proj_out"]["kernel"].astype(x.dtype)
     bd = ff_p["proj_out"]["bias"].astype(x.dtype)
     if snc and x.ndim == 3:
-        x_t = jnp.transpose(x, (1, 0, 2))
-        y = _ffn_pallas_snc(x_t, ln_p["scale"], ln_p["bias"], wu, bu, wd,
-                            bd, eps)
+        if pre_transposed:
+            return _ffn_pallas_snc(x, ln_p["scale"], ln_p["bias"], wu, bu,
+                                   wd, bd, eps)
+        y = _ffn_pallas_snc(jnp.transpose(x, (1, 0, 2)), ln_p["scale"],
+                            ln_p["bias"], wu, bu, wd, bd, eps)
         return jnp.transpose(y, (1, 0, 2))
     r = x.size // c
     if r < 8:

@@ -160,6 +160,14 @@ def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
         logits = heads_bytes * fbs * 8 // 8               # ~(F,H,F·bs)
         return blocks + live + acc + temps + logits
 
+    # bs = 128 makes every in-kernel lane roll a whole-vreg move
+    # (r·bs % 128 == 0 — no cross-lane shuffles): measured 10.3 -> 8.7
+    # ms/call on the lvl0 step shape (tools/tune_temporal.py, round 3).
+    # Requires s % 128 == 0 — the ragged edge block would otherwise DMA
+    # past the 8-padded sublane allocation (S is the sublane axis here).
+    if s % 128 == 0 and cost(128) <= 26 * 1024 * 1024 \
+            and cost(128) + weights <= _VMEM_TOTAL:
+        return 128
     # F·bs must be a whole number of 128-lane vregs so the in-kernel lane
     # rolls stay within the real (unpadded) lane extent
     step = 128 // math.gcd(frames, 128)
@@ -183,11 +191,12 @@ def _pick_bs(s: int, c: int, frames: int, itemsize: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("frames", "heads", "ln",
-                                             "residual"))
+                                             "residual", "bs_override"))
 def temporal_attention_fused(x: jnp.ndarray, scale, bias, pe,
                              wq, wk, wv, wo, bo,
                              frames: int, heads: int, ln: bool,
-                             residual: bool) -> jnp.ndarray:
+                             residual: bool,
+                             bs_override: int = 0) -> jnp.ndarray:
     """x: (B, F, S, C). With ln=False, x must be pre-normed with the PE
     already added and the result is to_out(attend(x)) (caller adds the
     residual). With ln=True the kernel computes
@@ -195,7 +204,7 @@ def temporal_attention_fused(x: jnp.ndarray, scale, bias, pe,
     """
     b, f, s, c = x.shape
     assert f == frames
-    bs = _pick_bs(s, c, frames, x.dtype.itemsize)
+    bs = bs_override or _pick_bs(s, c, frames, x.dtype.itemsize)
     assert bs > 0, "caller must gate on _applies (which checks _pick_bs)"
     grid = (b, -(-s // bs))
     kernel = functools.partial(_tattn_kernel, frames=frames, heads=heads,

@@ -102,3 +102,52 @@ def test_matmul_bias_residual_matches():
         got = FFN3._matmul_res_pallas(x, lin["kernel"], lin["bias"], res)
     want = res + L.linear(lin, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_qkv_ln_snc_matches_reference():
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (3, 40, 64), jnp.float32)
+    ln_p = {"scale": jax.random.normal(key, (64,)),
+            "bias": jax.random.normal(jax.random.split(key)[0], (64,))}
+    attn_p = L.mha_init(key, 64, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        w3 = jnp.concatenate([attn_p["to_q"]["kernel"],
+                              attn_p["to_k"]["kernel"],
+                              attn_p["to_v"]["kernel"]], axis=1)
+        q, k, v = FFN._qkv_ln_pallas_snc(
+            jnp.transpose(x, (1, 0, 2)), ln_p["scale"], ln_p["bias"],
+            w3, 1e-5)
+    # outputs are NATURAL (N, S, inner) — the flash operand layout
+    norm = L.layer_norm(ln_p, x)
+    for got, name in ((q, "to_q"), (k, "to_k"), (v, "to_v")):
+        want = L.linear(attn_p[name], norm)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+
+def test_matmul_snc_matches():
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (3, 40, 64), jnp.float32)   # (N, S, K)
+    lin = L.linear_init(key, 64, 96, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_t = FFN._matmul_pallas_snc(jnp.transpose(x, (1, 0, 2)),
+                                       lin["kernel"], lin["bias"])
+    want = L.linear(lin, x)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got_t, (1, 0, 2))),
+                               np.asarray(want), atol=2e-4)
+
+
+def test_matmul_res_snc_matches():
+    key = jax.random.PRNGKey(17)
+    x = jax.random.normal(key, (3, 40, 64), jnp.float32)
+    res = jax.random.normal(jax.random.split(key)[0], (3, 40, 96),
+                            jnp.float32)
+    lin = L.linear_init(key, 64, 96, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        # x NATURAL (N, S, K); res/result (S, N, Cout) transposes
+        got_t = FFN._matmul_res_pallas_snc(
+            x, lin["kernel"], lin["bias"],
+            jnp.transpose(res, (1, 0, 2)))
+    want = res + L.linear(lin, x)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got_t, (1, 0, 2))),
+                               np.asarray(want), atol=2e-4)

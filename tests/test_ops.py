@@ -140,4 +140,3 @@ def test_flash_nt_kernel_bf16_precision_pinned():
     # absolute envelope of 0.25 (~3 bf16 ulps at this magnitude) pins the
     # tradeoff without flaking.
     np.testing.assert_allclose(got, want, atol=0.25)
-
