@@ -79,7 +79,31 @@ def retry(fn, what, tries=5):
             time.sleep(10)
 
 
+def _device_watchdog(timeout_s: float = 240.0):
+    """Fail fast (rc=3 + a clear stderr line) if the axon tunnel is dead.
+
+    Observed failure mode (round 3): the tunnel can go down so hard that
+    `jax.devices()` itself blocks forever — the process then burns the
+    driver's whole timeout with zero output (indistinguishable from the
+    round-2 rc=124). Normal device init takes ~5-10 s, so 240 s is far
+    outside the legitimate envelope."""
+    import threading
+    ok = threading.Event()
+
+    def probe():
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        log(f"FATAL: jax.devices() unresponsive after {timeout_s:.0f}s — "
+            "the TPU (axon) tunnel is down; no measurement is possible")
+        os._exit(3)
+
+
 def main():
+    _device_watchdog()
     from mimo_tpu import config as C
     from mimo_tpu.models import unet as U
     from mimo_tpu.models import vae as V
