@@ -103,13 +103,15 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
     if vp_params is not None:
         import jax
 
+        # params as an explicit jit argument (closure constants embed into
+        # the HLO — slow remote compiles, no cache reuse across weights)
         hm_fn = jax.jit(
-            lambda c: VP.heatmaps_flip_test(vp_params, vp_cfg, c))
+            lambda p, c: VP.heatmaps_flip_test(p, vp_cfg, c))
 
         def estimate_pose(frame, bbox):
             crop, cs = HMR.square_crop(frame, bbox,
                                        out_size=vp_cfg.backbone.img_size)
-            hm = hm_fn(jnp.asarray(crop[None], dtype))
+            hm = hm_fn(vp_params, jnp.asarray(crop[None], dtype))
             half = cs[2] / 2
             box = np.array([[cs[0] - half, cs[1] - half, cs[2], cs[2]]])
             return VP.decode_keypoints(np.asarray(hm, np.float32), box)[0]

@@ -82,12 +82,15 @@ class MotionEstimator:
     focal: float = 5000.0
 
     def __post_init__(self):
+        # params are explicit jit ARGUMENTS: closure-captured jax.Arrays
+        # are embedded into the lowered HLO as literals, which balloons
+        # the (remote, slow) TPU compile and defeats the compile cache
+        # whenever weight values change
         self._hm_fwd = jax.jit(
-            lambda c: HM.hmr_forward(self.hmr_params, self.hmr_cfg, c))
+            lambda p, c: HM.hmr_forward(p, self.hmr_cfg, c))
         if self.hamer_params is not None:
             self._hamer_fwd = jax.jit(
-                lambda c: HM.hmr_forward(self.hamer_params, self.hamer_cfg,
-                                         c))
+                lambda p, c: HM.hmr_forward(p, self.hamer_cfg, c))
         if self.sdc_colors is None:
             v = np.asarray(self.smpl_model.v_template)
             v = (v - v.min(0)) / (v.max(0) - v.min(0) + 1e-9)
@@ -104,7 +107,7 @@ class MotionEstimator:
             c, cs = HM.square_crop(f, bb, out_size=size)
             crops.append(c)
             css.append(cs)
-        out = self._hm_fwd(jnp.asarray(np.stack(crops)))
+        out = self._hm_fwd(self.hmr_params, jnp.asarray(np.stack(crops)))
         return out, np.stack(css)
 
     def hand_params(self, frames, kpts_per_frame):
@@ -128,7 +131,8 @@ class MotionEstimator:
         results = [dict(left=None, right=None) for _ in frames]
         if not crops:
             return results
-        out = self._hamer_fwd(jnp.asarray(np.stack(crops)))
+        out = self._hamer_fwd(self.hamer_params,
+                              jnp.asarray(np.stack(crops)))
         rotm = np.asarray(out["pose_rotmats"])
         for (t, side), R in zip(entries, rotm):
             if side == "left":

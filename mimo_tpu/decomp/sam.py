@@ -284,10 +284,13 @@ class SamPredictor:
         self.cfg = cfg
         self._embed = None
         self._orig_size = None
-        self._encode = jax.jit(lambda px: encode_image(params, cfg, px))
+        # params as explicit jit arguments — closure-captured jax.Arrays
+        # are embedded into the HLO as literals (slow remote compiles, no
+        # cache reuse across weight values)
+        self._encode = jax.jit(lambda p, px: encode_image(p, cfg, px))
         self._decode = jax.jit(
-            lambda emb, pts, lbl: decode_masks(
-                params, cfg, emb, encode_points(params, pts, lbl)))
+            lambda p, emb, pts, lbl: decode_masks(
+                p, cfg, emb, encode_points(p, pts, lbl)))
 
     def set_image(self, image: np.ndarray) -> None:
         """image: (H, W, 3) uint8 RGB; resized (long side) to encoder size."""
@@ -299,7 +302,8 @@ class SamPredictor:
         resized = cv2.resize(image, (nw, nh))
         canvas = np.zeros((S, S, 3), np.float32)
         canvas[:nh, :nw] = (resized.astype(np.float32) - SAM_MEAN) / SAM_STD
-        self._embed = self._encode(jnp.asarray(canvas)[None])[0]
+        self._embed = self._encode(self.params,
+                                   jnp.asarray(canvas)[None])[0]
         self._orig_size = (h, w)
         self._scaled = (nh, nw)
 
@@ -325,8 +329,8 @@ class SamPredictor:
             lbls.append(np.array([2, 3], np.int32))
         pts = np.concatenate(prompts, axis=0)[None]
         lbl = np.concatenate(lbls, axis=0)[None]
-        masks, iou = self._decode(self._embed, jnp.asarray(pts),
-                                  jnp.asarray(lbl))
+        masks, iou = self._decode(self.params, self._embed,
+                                  jnp.asarray(pts), jnp.asarray(lbl))
         masks = np.asarray(masks[0].astype(jnp.float32))    # (M, 4g, 4g)
         import cv2
         out = []
@@ -359,7 +363,8 @@ def automatic_masks(predictor: SamPredictor, image: np.ndarray,
     pts01 = grid * [nw / S, nh / S]
     pts = jnp.asarray(pts01, jnp.float32)[:, None, :]      # (P, 1, 2)
     lbl = jnp.ones((pts.shape[0], 1), jnp.int32)
-    masks, iou = predictor._decode(predictor._embed, pts, lbl)
+    masks, iou = predictor._decode(predictor.params, predictor._embed,
+                                   pts, lbl)
     masks = np.asarray(masks.astype(jnp.float32))           # (P, M, 4g, 4g)
     iou = np.asarray(iou)
 

@@ -582,9 +582,11 @@ class SAM2VideoPredictor:
         batch = np.stack([
             (cv2.resize(f, (S, S)).astype(np.float32) / 255.0 - IMG_MEAN)
             / IMG_STD for f in frames])
+        # params as an explicit jit argument (closure constants embed into
+        # the HLO — slow remote compiles, no cache reuse across weights)
         feat16, s1, s0, pos16 = jax.jit(
-            lambda px: encode_frames(self.p, self.cfg, px))(
-                jnp.asarray(batch))
+            lambda p, px: encode_frames(p, self.cfg, px))(
+                self.p, jnp.asarray(batch))
         self._feats = (feat16, s1, s0, pos16)
         self._cond = None
 
