@@ -24,6 +24,7 @@ import os
 from typing import Any, Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mimo_tpu.decomp import depth_anything as DA
@@ -48,7 +49,6 @@ def _maybe(path: str, dtype=None):
     (bf16 inference, matching the reference's autocast)."""
     if not os.path.exists(path):
         return None
-    import jax
 
     def leaf(x):
         if x is None:
@@ -101,7 +101,6 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
     vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"), dtype)
     vp_cfg = VP.tiny_vitpose_config() if tiny else VP.ViTPoseConfig()
     if vp_params is not None:
-        import jax
 
         # params as an explicit jit argument (closure constants embed into
         # the HLO — slow remote compiles, no cache reuse across weights)
@@ -126,8 +125,25 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
     depth_params = _maybe(os.path.join(weights_dir, "depth.npz"), dtype)
     if depth_params is not None:
         dcfg = DA.tiny_depth_config() if tiny else DA.DepthAnythingConfig()
-        models.depth = lambda frame: np.asarray(DA.infer_depth(
-            depth_params, dcfg, jnp.asarray(frame, jnp.float32) / 255.0))
+        # jitted (arrays as arguments): eager per-op dispatch costs ~35 ms
+        # per call through the axon tunnel; one compiled call per frame
+        # shape instead. The bundle's few STRING leaves (DPT resize 'kind'
+        # metadata) can't be jit operands — they stay closure constants
+        # (scalars, harmless), only the weight arrays ride as arguments.
+        d_leaves, d_tree = jax.tree.flatten(depth_params)
+        d_is_arr = [hasattr(l, "dtype") for l in d_leaves]
+        d_arrs = [l for l, a in zip(d_leaves, d_is_arr) if a]
+
+        def _depth_rebuild(arrs):
+            it = iter(arrs)
+            return jax.tree.unflatten(
+                d_tree, [next(it) if a else l
+                         for l, a in zip(d_leaves, d_is_arr)])
+
+        depth_fn = jax.jit(
+            lambda arrs, im: DA.infer_depth(_depth_rebuild(arrs), dcfg, im))
+        models.depth = lambda frame: np.asarray(depth_fn(
+            d_arrs, jnp.asarray(frame, jnp.float32) / 255.0))
 
     hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"), dtype)
     smpl_path = next((p for p in (
@@ -180,7 +196,6 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     models = build_decomp_models(args.weights_dir, tiny=args.tiny)
     cfg = DP.DecompConfig(target_fps=args.fps, max_frames=args.max_frames)
