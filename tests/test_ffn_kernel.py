@@ -151,3 +151,39 @@ def test_matmul_res_snc_matches():
     want = res + L.linear(lin, x)
     np.testing.assert_allclose(np.asarray(jnp.transpose(got_t, (1, 0, 2))),
                                np.asarray(want), atol=2e-4)
+
+
+@pytest.mark.parametrize("s", [44, 100])   # s % 8 != 0: ragged edge block
+def test_snc_kernels_ragged_s(s):
+    """Production 784x784 runs lvl0 at S=9604 (not an 8-multiple): the SNC
+    kernels must stay exact when the S axis leaves a ragged edge block
+    (outer-axis ragged reads; natural-side bs=8 edge writes end exactly at
+    the 8-padded sublane boundary)."""
+    key = jax.random.PRNGKey(23)
+    x = jax.random.normal(key, (3, s, 64), jnp.float32)
+    ln_p = {"scale": jax.random.normal(key, (64,)),
+            "bias": jax.random.normal(jax.random.split(key)[0], (64,))}
+    attn_p = L.mha_init(key, 64, dtype=jnp.float32)
+    lin = L.linear_init(key, 64, 96, dtype=jnp.float32)
+    res = jax.random.normal(jax.random.split(key)[1], (3, s, 96),
+                            jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        w3 = jnp.concatenate([attn_p["to_q"]["kernel"],
+                              attn_p["to_k"]["kernel"],
+                              attn_p["to_v"]["kernel"]], axis=1)
+        q, k, v = FFN._qkv_ln_pallas_snc(
+            jnp.transpose(x, (1, 0, 2)), ln_p["scale"], ln_p["bias"],
+            w3, 1e-5)
+        got_mr = FFN._matmul_res_pallas_snc(
+            jax.random.normal(key, (3, s, 64), jnp.float32),
+            lin["kernel"], lin["bias"], jnp.transpose(res, (1, 0, 2)))
+    norm = L.layer_norm(ln_p, x)
+    for got, name in ((q, "to_q"), (k, "to_k"), (v, "to_v")):
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(L.linear(attn_p[name], norm)),
+                                   atol=2e-4)
+    want_mr = res + L.linear(
+        lin, jax.random.normal(key, (3, s, 64), jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got_mr, (1, 0, 2))), np.asarray(want_mr),
+        atol=2e-4)
