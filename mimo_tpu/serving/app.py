@@ -74,20 +74,52 @@ def build_app(webapp: WebApp):
             "gradio is not installed in this environment; use "
             "mimo_tpu.entry.edit / animate CLIs instead") from e
 
+    names = webapp.templates()
+
+    def _preview(name):
+        """Gallery tile: the tracked source if present, else the pose video
+        (reference app.py:374-378 shows motion_dir preview mp4s)."""
+        d = os.path.join(webapp.template_root, name)
+        for f in ("vid.mp4", "sdc.mp4"):
+            p = os.path.join(d, f)
+            if os.path.exists(p):
+                return p
+        return None
+
     with gr.Blocks(title="MIMO-TPU") as demo:
         gr.Markdown("# MIMO-TPU — controllable character video synthesis")
+        # guidance block (reference app.py:413-421)
+        with gr.Accordion(label="Guidance", open=True):
+            gr.Markdown(
+                "- **step 1:** upload a character image\n"
+                "- **step 2:** choose a motion template from the gallery\n"
+                "- **step 3:** click Run\n"
+                "- Note: the character image should be full-body, "
+                "front-facing, no occlusion, no handheld objects")
+        selected = gr.State(names[0] if names else None)
         with gr.Row():
-            ref = gr.Image(label="Reference character image")
-            template = gr.Dropdown(choices=webapp.templates(),
-                                   label="Template")
-        out = gr.Video(label="Result")
-        btn = gr.Button("Run")
+            ref = gr.Image(label="Input image")
+            with gr.Column():
+                # preset template gallery with preview videos
+                # (reference app.py:371-385 get_template/_update_selection)
+                gallery = gr.Gallery(
+                    label="Gallery", columns=2, height=500,
+                    value=[(_preview(n), n) for n in names],
+                    show_label=True,
+                    selected_index=0 if names else None)
+                btn = gr.Button("Run", variant="primary")
+            out = gr.Video(label="Generated Result", autoplay=True)
+
+        def _select(evt: gr.SelectData):
+            return names[evt.index]
+
+        gallery.select(_select, inputs=[], outputs=[selected])
 
         def _run(img, tpl):
             path = "/tmp/mimo_tpu_out.mp4"
             return webapp.run_process(np.asarray(img), tpl, path)
 
-        btn.click(_run, inputs=[ref, template], outputs=[out])
+        btn.click(_run, inputs=[ref, selected], outputs=[out])
     return demo
 
 
