@@ -51,7 +51,7 @@ def main():
         sm = 1.0 / math.sqrt(d)
         h = n // 2
         bq, bk = A._pick_t_blocks(s, s, c, 2)
-        print(f"{name}: bq={bq} bk={bk}")
+        print(f"{name}: bq={bq} bk={bk}", flush=True)
         bench(f"{name} unc  (nt,   batch {h})", flash_attention_nt,
               q, k, v, heads, sm_scale=sm, block_q=bq, block_k=bk,
               batch_start=0, batch_count=h)
