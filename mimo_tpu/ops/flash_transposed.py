@@ -43,21 +43,47 @@ NEG_INF = -1e30
 
 
 def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
-                     qt_ref, acc_ref, m_ref, l_ref,
+                     qt_ref, acc_ref, m_ref, l_ref, qn_ref,
                      *, heads: int, sk_actual: int, block_k: int,
                      sm_scale: float, out_dtype):
     """One (batch, q-block, k-block) grid step, all heads unrolled.
 
     q_ref/o_ref: (1, bq, H·d); k_ref/v_ref: (1, bk, H·d) — natural
-    sequence-major blocks. Scratch: qt (H·d, bq) input dtype (transposed q,
-    computed once per q block), acc (H·d, bq) f32, m/l (heads, bq) f32.
-    Grid iterates k innermost; scratch accumulates across the k blocks of
-    one q block.
+    sequence-major blocks. Scratch: qt (H·(d+8), bq) input dtype (the
+    transposed q in per-head panels — see below), acc (H·d, bq) f32,
+    m/l/qn (heads, bq) f32. Grid iterates k innermost; scratch
+    accumulates across the k blocks of one q block.
+
+    Bound-shift softmax (round 3): the per-logit VPU chain used to be
+    max-reduce + subtract + exp2 over the (bk, bq) tile — the measured
+    wall of the whole kernel (BENCH_NOTES.md: VPU-softmax-bound, the DMA
+    and MXU fully hidden). Two changes remove 2 of the 3 passes:
+
+    - the running shift m is an UPPER BOUND instead of the true max:
+      ‖q̃_col‖·max_rows‖k̃‖ (Cauchy-Schwarz on the bf16-rounded operands,
+      O(d·bk) per block instead of O(bk·bq)). Softmax is shift-invariant
+      for ANY shift ≥ max (p stays ≤ ~1), so the result is unchanged;
+    - the subtraction rides the QK matmul: each head's q panel carries
+      d+8 rows — d of q, one holding −m̃ (rewritten per k block), 7 zeros
+      for sublane alignment — and the matching k panel [k; ones; zeros]
+      makes the MXU emit s − m̃ directly. d+8 = 48 for the d=40 heads,
+      exactly the sublane padding the MXU applied anyway — the extra
+      contraction rows are free.
+
+    The shift actually applied is the bf16-rounded row value, so m̃ is
+    stored rounded too — alpha, the denominator, and the final division
+    all use the identical shift and exactness is preserved. Failure
+    envelope: if the C-S bound overshoots the true max by > ~126 (exp2
+    domain), every p underflows to 0 and the row returns NaN — requires
+    ‖q‖‖k‖ ≫ any realized logit, far outside LN-normalized attention;
+    the true-max kernel had the mirror-image overflow envelope.
     """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     hd = q_ref.shape[2]
     d = hd // heads
+    dp = d + 8                                          # per-head panel rows
+    bq = q_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -66,9 +92,14 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         # fold softmax scale and log2(e) into q once; softmax runs in the
         # exp2 domain (native VPU pow2)
-        qt_ref[:] = (q_ref[0].T
-                     * jnp.asarray(sm_scale * 1.4426950408889634,
-                                   q_ref.dtype))
+        qt = (q_ref[0].T
+              * jnp.asarray(sm_scale * 1.4426950408889634, q_ref.dtype))
+        for h in range(heads):
+            qh = qt[h * d:(h + 1) * d]                  # (d, bq)
+            qt_ref[h * dp:h * dp + d] = qh
+            qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros((8, bq), qt.dtype)
+            qn_ref[h:h + 1] = jnp.sqrt(jnp.sum(
+                qh.astype(jnp.float32) ** 2, axis=0, keepdims=True))
 
     ragged = sk_actual % block_k != 0
     kt = k_ref[0].T                                     # (H·d, bk)
@@ -80,12 +111,36 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(rows + j * block_k < sk_actual, v, 0)
     vt = v.T                                            # (H·d, bk)
+    bk = kt.shape[1]
+
+    def _shift(h):
+        """Update the running bound and write the shift row for head h.
+        Returns (m_prev, m_new) — both already rounded to the row dtype
+        so every use of the shift is consistent."""
+        sl = slice(h * d, (h + 1) * d)
+        kn2 = jnp.sum(kt[sl].astype(jnp.float32) ** 2, axis=0,
+                      keepdims=True)                    # (1, bk)
+        if ragged:
+            cols = jax.lax.broadcasted_iota(jnp.int32, kn2.shape, 1)
+            kn2 = jnp.where(cols + j * block_k < sk_actual, kn2, 0)
+        knmax = jnp.sqrt(jnp.max(kn2, axis=1, keepdims=True))   # (1, 1)
+        m_prev = m_ref[h:h + 1]                         # (1, bq) rounded
+        bound = qn_ref[h:h + 1] * knmax
+        row = (-jnp.maximum(m_prev, bound)).astype(qt_ref.dtype)
+        qt_ref[h * dp + d:h * dp + d + 1] = row
+        m_new = -row.astype(jnp.float32)                # the applied shift
+        m_ref[h:h + 1] = m_new
+        return m_prev, m_new
 
     def _qk(h):
-        sl = slice(h * d, (h + 1) * d)                  # aligned sublanes
-        # logits^T: (bk, bq) — contract over d on sublanes
+        # logits^T − m̃: (bk, bq) — contract over the d+8 panel rows; the
+        # ones row pairs with −m̃, the zero rows contribute nothing
+        ktp = jnp.concatenate(
+            [kt[h * d:(h + 1) * d], jnp.ones((1, bk), kt.dtype),
+             jnp.zeros((7, bk), kt.dtype)])             # (d+8, bk)
         s = jax.lax.dot_general(
-            kt[sl], qt_ref[sl], dimension_numbers=(((0,), (0,)), ((), ())),
+            ktp, qt_ref[h * dp:(h + 1) * dp],
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if ragged:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -95,21 +150,20 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref,
     # software-pipelined heads: head h+1's QK matmul is issued before head
     # h's softmax, so the MXU can run ahead of the VPU chain (the kernel
     # is VPU-bound — BENCH_NOTES.md)
+    ms_next = _shift(0)
     s_next = _qk(0)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
+        m_prev, m_new = ms_next
         s = s_next
         if h + 1 < heads:
+            ms_next = _shift(h + 1)
             s_next = _qk(h + 1)
 
-        m_prev = m_ref[h:h + 1]                         # (1, bq)
-        m_cur = jnp.max(s, axis=0, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)
+        alpha = jnp.exp2(m_prev - m_new)                # (1, bq)
         # exp2 in the PV-operand dtype: the matmul rounds p to bf16 anyway
         # and bf16 exp2 doubles VPU throughput on the biggest block tensor
-        p = jnp.exp2((s - m_new).astype(vt.dtype))      # (bk, bq)
-        m_ref[h:h + 1] = m_new
+        p = jnp.exp2(s.astype(vt.dtype))                # (bk, bq), ≤ ~1
         # ones-row appended to V: the PV matmul emits the softmax
         # denominator as its last row with fp32 MXU accumulation (free —
         # d pads to the next sublane multiple regardless)
@@ -167,10 +221,11 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((inner, block_q), q.dtype),
+            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
             pltpu.VMEM((inner, block_q), jnp.float32),
             pltpu.VMEM((heads, block_q), jnp.float32),
             pltpu.VMEM((heads, block_q), jnp.float32),
+            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -190,7 +245,7 @@ def flash_sdpa_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
-                      qt_ref, acc_ref, m_ref, l_ref,
+                      qt_ref, acc_ref, m_ref, l_ref, qn_ref,
                       *, heads: int, sk1: int, sk2: int, block_k: int,
                       nk1: int, sm_scale: float, out_dtype):
     """Two-segment variant of _flash_nt_kernel: the key/value sequence is
@@ -199,20 +254,32 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
     reference src/models/mutual_self_attention.py:107-126) is passed as a
     separate batch-shared operand whose blocks every batch row reads
     directly. Grid k-dim covers nk1 self blocks then nk2 bank blocks; the
-    online-softmax state carries across the segment switch unchanged."""
+    online-softmax state carries across the segment switch unchanged.
+
+    Uses the same bound-shift softmax as _flash_nt_kernel (see there):
+    the Cauchy-Schwarz bound and the MXU-folded shift row apply per
+    segment block identically — the online bound carries across the
+    segment switch just like the true max did."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     hd = q_ref.shape[2]
     d = hd // heads
+    dp = d + 8
+    bq = q_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        qt_ref[:] = (q_ref[0].T
-                     * jnp.asarray(sm_scale * 1.4426950408889634,
-                                   q_ref.dtype))
+        qt = (q_ref[0].T
+              * jnp.asarray(sm_scale * 1.4426950408889634, q_ref.dtype))
+        for h in range(heads):
+            qh = qt[h * d:(h + 1) * d]
+            qt_ref[h * dp:h * dp + d] = qh
+            qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros((8, bq), qt.dtype)
+            qn_ref[h:h + 1] = jnp.sqrt(jnp.sum(
+                qh.astype(jnp.float32) ** 2, axis=0, keepdims=True))
 
     in_self = j < nk1
     k_blk = jnp.where(in_self, k_ref[0], kb_ref[0])
@@ -228,30 +295,48 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref,
 
     kt = k_blk.T                                        # (H·d, bk)
     vt = v_blk.T
+    bk = kt.shape[1]
+
+    def _shift(h):
+        sl = slice(h * d, (h + 1) * d)
+        kn2 = jnp.sum(kt[sl].astype(jnp.float32) ** 2, axis=0,
+                      keepdims=True)                    # (1, bk)
+        if need_mask:
+            kn2 = jnp.where(valid.T, kn2, 0)
+        knmax = jnp.sqrt(jnp.max(kn2, axis=1, keepdims=True))
+        m_prev = m_ref[h:h + 1]
+        bound = qn_ref[h:h + 1] * knmax
+        row = (-jnp.maximum(m_prev, bound)).astype(qt_ref.dtype)
+        qt_ref[h * dp + d:h * dp + d + 1] = row
+        m_new = -row.astype(jnp.float32)
+        m_ref[h:h + 1] = m_new
+        return m_prev, m_new
 
     def _qk(h):
-        sl = slice(h * d, (h + 1) * d)
+        ktp = jnp.concatenate(
+            [kt[h * d:(h + 1) * d], jnp.ones((1, bk), kt.dtype),
+             jnp.zeros((7, bk), kt.dtype)])             # (d+8, bk)
         s = jax.lax.dot_general(
-            kt[sl], qt_ref[sl], dimension_numbers=(((0,), (0,)), ((), ())),
+            ktp, qt_ref[h * dp:(h + 1) * dp],
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if need_mask:
             s = jnp.where(valid, s, NEG_INF)
         return s
 
     # software-pipelined heads (see _flash_nt_kernel)
+    ms_next = _shift(0)
     s_next = _qk(0)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
+        m_prev, m_new = ms_next
         s = s_next
         if h + 1 < heads:
+            ms_next = _shift(h + 1)
             s_next = _qk(h + 1)
 
-        m_prev = m_ref[h:h + 1]
-        m_cur = jnp.max(s, axis=0, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2((s - m_new).astype(vt.dtype))
-        m_ref[h:h + 1] = m_new
+        p = jnp.exp2(s.astype(vt.dtype))
         vt_plus = jnp.concatenate(
             [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
         pv = jax.lax.dot_general(
@@ -312,10 +397,11 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((inner, block_q), q.dtype),
+            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
             pltpu.VMEM((inner, block_q), jnp.float32),
             pltpu.VMEM((heads, block_q), jnp.float32),
             pltpu.VMEM((heads, block_q), jnp.float32),
+            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
