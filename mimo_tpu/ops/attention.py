@@ -130,7 +130,13 @@ def _pick_t_blocks(sq: int, sk: int, inner: int, itemsize: int,
     logits tile. bq/bk land on the lane axis of the transposed compute ->
     128-multiples. Prefer a bk that divides Sk (skips the in-kernel edge
     masking)."""
-    bq = min(512, _ceil_to(sq, _LANE))
+    # bq 640 on the 6272-row lvl0 shape: measured optimum for the
+    # bound-shift kernel (tools/sweep_flash_blocks.py, same-session A/B:
+    # unc 22.11->20.13, cond 36.87->34.67 ms vs bq=512). Smaller shapes
+    # keep the benched 512 (lvl1 was not re-swept; 512 is its measured
+    # point). Ragged q edges (6272 % 640 = 512) are the same handled
+    # envelope the shipped ragged bq=512 (6272 % 512 = 128) already uses.
+    bq = min(640 if sq >= 6272 else 512, _ceil_to(sq, _LANE))
 
     def fits(bq, bk):
         blocks = 2 * (bq + 2 * bk) * inner * itemsize   # double-buffered in
