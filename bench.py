@@ -49,9 +49,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 BASELINE_FPS = 0.87  # analytic A100 estimate, see module docstring
 T0 = time.time()
 BUDGET = float(os.environ.get("BENCH_BUDGET_SECONDS", "3000"))
+_LAST_PROGRESS = time.time()
 
 
 def log(msg):
+    global _LAST_PROGRESS
+    _LAST_PROGRESS = time.time()
     print(f"# [{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
@@ -102,8 +105,52 @@ def _device_watchdog(timeout_s: float = 240.0):
         os._exit(3)
 
 
+def _stall_watchdog(stall_s: float = 1200.0):
+    """Exit rc=4 if no progress line for `stall_s` seconds.
+
+    Observed failure mode (round 4): the tunnel is healthy (a fresh probe
+    process runs fine) but one in-flight RPC of THIS process is silently
+    lost — the main thread then futex-waits forever with ~0 CPU. No retry
+    loop can catch a call that never returns; the only recovery is to die
+    and let the respawn wrapper start over (the persistent compile cache
+    makes the retry incremental). 1200 s is far outside the legitimate
+    silent window: the longest non-logging stretch is a cold step compile
+    (~107 s measured this workspace)."""
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(30)
+            if time.time() - _LAST_PROGRESS > stall_s:
+                log(f"FATAL: no progress for {stall_s:.0f}s — in-flight "
+                    "RPC lost; exiting for respawn")
+                os._exit(4)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _respawn_wrapper():
+    """Run the real bench as a child; respawn on watchdog exits (rc 3/4).
+
+    The driver invokes bench.py exactly once — a hung tunnel RPC must not
+    cost the round its official number."""
+    import subprocess
+    env = dict(os.environ, BENCH_NO_RESPAWN="1",
+               BENCH_BUDGET_SECONDS=str(BUDGET))
+    rc = 1
+    for attempt in range(3):
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc not in (3, 4) or time.time() - T0 > BUDGET:
+            sys.exit(rc)
+        log(f"child exited rc={rc} (tunnel hang/down); "
+            f"respawn attempt {attempt + 1}/3")
+    sys.exit(rc)
+
+
 def main():
     _device_watchdog()
+    _stall_watchdog()
     from mimo_tpu import config as C
     from mimo_tpu.models import unet as U
     from mimo_tpu.models import vae as V
@@ -212,4 +259,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NO_RESPAWN") == "1":
+        main()
+    else:
+        _respawn_wrapper()

@@ -123,7 +123,8 @@ def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _pick_t_blocks(sq: int, sk: int, inner: int, itemsize: int,
-                   sk_min: Optional[int] = None) -> Tuple[int, int]:
+                   sk_min: Optional[int] = None,
+                   heads: Optional[int] = None) -> Tuple[int, int]:
     """Blocks for the natural-layout transposed-compute kernel. Blocks are
     full-width (block, H·d), so the VMEM working set is dominated by the
     double-buffered K/V blocks, their in-kernel transposes, and the fp32
@@ -132,17 +133,26 @@ def _pick_t_blocks(sq: int, sk: int, inner: int, itemsize: int,
     masking)."""
     # bq 640 on the 6272-row lvl0 shape: measured optimum for the
     # bound-shift kernel (tools/sweep_flash_blocks.py, same-session A/B:
-    # unc 22.11->20.13, cond 36.87->34.67 ms vs bq=512). Smaller shapes
+    # unc 22.11->20.13, cond 36.87->34.67 ms vs bq=512). Other shapes
     # keep the benched 512 (lvl1 was not re-swept; 512 is its measured
-    # point). Ragged q edges (6272 % 640 = 512) are the same handled
-    # envelope the shipped ragged bq=512 (6272 % 512 = 128) already uses.
-    bq = min(640 if sq >= 6272 else 512, _ceil_to(sq, _LANE))
+    # point); the gate is == 6272, not >=, so an unswept larger query
+    # shape falls back to the conservative 512 rather than silently
+    # inheriting an untested block (ADVICE r3). Ragged q edges
+    # (6272 % 640 = 512) are the same handled envelope the shipped
+    # ragged bq=512 (6272 % 512 = 128) already uses.
+    bq = min(640 if sq == 6272 else 512, _ceil_to(sq, _LANE))
+    # worst-case head count for the scratch model when the caller does not
+    # pass it (d >= 8 on this path, so heads <= inner // 8)
+    n_h = heads if heads is not None else inner // 8
 
     def fits(bq, bk):
         blocks = 2 * (bq + 2 * bk) * inner * itemsize   # double-buffered in
         blocks += 2 * bq * inner * itemsize             # out
         trans = 2 * bk * inner * itemsize               # kt, vt temporaries
-        scratch = bq * inner * (itemsize + 4)           # qt + acc
+        # qt is (inner + 8*heads, bq) in the bound-shift kernel (the bound
+        # rows ride with q) + (bq, inner) f32 acc + (heads, bq) f32 qn
+        scratch = (bq * inner * (itemsize + 4)
+                   + 8 * n_h * bq * itemsize + n_h * bq * 4)
         logits = bk * bq * (4 + itemsize)               # s (f32) + p
         if sk % bk:
             # ragged key edge: the in-kernel iota/where masking costs extra
@@ -206,7 +216,8 @@ def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from mimo_tpu.ops.flash_transposed import flash_attention_nt_bank
         bq, bk = _pick_t_blocks(q.shape[1], max(k.shape[1], kb.shape[1]),
                                 q.shape[2], q.dtype.itemsize,
-                                sk_min=min(k.shape[1], kb.shape[1]))
+                                sk_min=min(k.shape[1], kb.shape[1]),
+                                heads=heads)
         return flash_attention_nt_bank(q, k, v, kb, vb, heads,
                                        sm_scale=1.0 / math.sqrt(d),
                                        block_q=bq, block_k=bk,
@@ -236,7 +247,7 @@ def dispatch_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if d % 8 == 0 and d <= 160:
             from mimo_tpu.ops.flash_transposed import flash_attention_nt
             bq, bk = _pick_t_blocks(q.shape[1], k.shape[1], q.shape[2],
-                                    q.dtype.itemsize)
+                                    q.dtype.itemsize, heads=heads)
             return flash_attention_nt(q, k, v, heads,
                                       sm_scale=1.0 / math.sqrt(d),
                                       block_q=bq, block_k=bk,

@@ -166,3 +166,22 @@ def test_frame_sharded_matches_single_device():
             p, st_fs, a, b, c, d, e)
     )(params_r, *inputs_r))
     np.testing.assert_allclose(baseline, sharded, atol=2e-5)
+
+
+def test_reshard_branch_production_shapes():
+    """The frame-parallel temporal attention must take the all-to-all
+    branch (not the all-gather fallback) at every UNet level of the
+    production 512x784 clip, for any mesh width up to 8 (VERDICT r3 weak
+    #6: pin branch selection explicitly). Levels: latent (64, 98), then
+    ceil-halved by the stride-2/pad-1 downsample convs."""
+    h, w = 512 // 8, 784 // 8              # VAE downscale 8 -> (64, 98)
+    levels = []
+    for _ in range(4):                      # 4 block levels + mid at the last
+        levels.append(h * w)
+        h, w = -(-h // 2), -(-w // 2)
+    assert levels[:2] == [6272, 1568]      # the flash-profiled shapes
+    for spatial in levels:
+        for ndev in (2, 4, 8):
+            assert U.reshard_mode(spatial, ndev) == "a2a", (spatial, ndev)
+    # the fallback exists and triggers only on ragged S (tiny test shapes)
+    assert U.reshard_mode(9, 2) == "gather"
