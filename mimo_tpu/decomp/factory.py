@@ -67,12 +67,23 @@ def _maybe(path: str, dtype=None):
 
 
 def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
-                        tiny: bool = False) -> DP.DecompModels:
+                        tiny: bool = False,
+                        only: Optional[set] = None) -> DP.DecompModels:
     """tiny=True pairs with `gen_decomp_weights.py --tiny` bundles (the
-    CPU smoke-test sizes); default configs are the real architectures."""
+    CPU smoke-test sizes); default configs are the real architectures.
+
+    `only` restricts which weight bundles load (names from the module
+    docstring, e.g. {"sam", "sam2"}): the full zoo is ~6 GB of bf16
+    device weights — more than half a v5e chip — so single-stage runs
+    (tools/profile_decomp.py) must not pay for models they never call.
+    """
     models = DP.DecompModels()
 
-    sam_params = _maybe(os.path.join(weights_dir, "sam.npz"), dtype)
+    def _want(name: str) -> bool:
+        return only is None or name in only
+
+    sam_params = _maybe(os.path.join(weights_dir, "sam.npz"), dtype) \
+        if _want("sam") else None
     if sam_params is not None:
         sam_cfg = SAM.tiny_sam_config() if tiny else SAM.SAMConfig()
         predictor = SAM.SamPredictor(sam_params, sam_cfg)
@@ -86,7 +97,8 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
         models.automask = lambda frame: SAM.automatic_masks(
             predictor, frame, points_per_side=32)
 
-    sam2_params = _maybe(os.path.join(weights_dir, "sam2.npz"), dtype)
+    sam2_params = _maybe(os.path.join(weights_dir, "sam2.npz"), dtype) \
+        if _want("sam2") else None
     if sam2_params is not None:
         s2cfg = SAM2.tiny_sam2_config() if tiny else SAM2.SAM2Config()
 
@@ -98,7 +110,8 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
 
         models.track_video = track
 
-    vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"), dtype)
+    vp_params = _maybe(os.path.join(weights_dir, "vitpose.npz"), dtype) \
+        if _want("vitpose") else None
     vp_cfg = VP.tiny_vitpose_config() if tiny else VP.ViTPoseConfig()
     if vp_params is not None:
 
@@ -122,7 +135,8 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
             models.detect_person = PoseScoredDetector(
                 automask=models.automask, estimate_pose=estimate_pose)
 
-    depth_params = _maybe(os.path.join(weights_dir, "depth.npz"), dtype)
+    depth_params = _maybe(os.path.join(weights_dir, "depth.npz"), dtype) \
+        if _want("depth") else None
     if depth_params is not None:
         dcfg = DA.tiny_depth_config() if tiny else DA.DepthAnythingConfig()
         # jitted (arrays as arguments): eager per-op dispatch costs ~35 ms
@@ -145,7 +159,8 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
         models.depth = lambda frame: np.asarray(depth_fn(
             d_arrs, jnp.asarray(frame, jnp.float32) / 255.0))
 
-    hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"), dtype)
+    hmr_params = _maybe(os.path.join(weights_dir, "hmr.npz"), dtype) \
+        if _want("hmr") else None
     smpl_path = next((p for p in (
         os.path.join(weights_dir, "smpl.npz"),
         os.path.join(weights_dir, "smpl.pkl")) if os.path.exists(p)), None)
@@ -159,13 +174,16 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
             vitpose_params=vp_params, vitpose_cfg=vp_cfg,
             hmr_params=hmr_params,
             hmr_cfg=HMR.tiny_hmr_config() if tiny else HMR.HMRConfig(),
-            hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz"), dtype),
+            hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz"),
+                                dtype) if _want("hamer") else None,
             hamer_cfg=HMR.tiny_hmr_config() if tiny else HMR.hamer_config(),
             smpl_model=smpl_model, sdc_colors=sdc_colors)
         models.estimate_motion = est.estimate_motion
 
-    raft_params = _maybe(os.path.join(weights_dir, "raft.npz"), dtype)
-    pp_params = _maybe(os.path.join(weights_dir, "propainter.npz"), dtype)
+    raft_params = _maybe(os.path.join(weights_dir, "raft.npz"), dtype) \
+        if _want("raft") else None
+    pp_params = _maybe(os.path.join(weights_dir, "propainter.npz"), dtype) \
+        if _want("propainter") else None
     if raft_params is not None and pp_params is not None:
         pcfg = PP.tiny_propainter_config() if tiny else PP.ProPainterConfig()
         rcfg = RAFT.tiny_raft_config() if tiny else RAFT.RAFTConfig()

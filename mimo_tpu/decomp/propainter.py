@@ -33,6 +33,7 @@ one matmul).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -229,12 +230,14 @@ def _align_corners_2x(x: jnp.ndarray) -> jnp.ndarray:
 
     fy, y0, y1 = coords(H, h)
     fx, x0, x1 = coords(W, w)
-    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] \
-        + x[:, y0][:, :, x1] * fx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] \
-        + x[:, y1][:, :, x1] * fx[None, None, :, None]
-    return top * (1 - fy)[None, :, None, None] \
-        + bot * fy[None, :, None, None]
+    # separable: interpolate x at the SMALL height first, then y — the
+    # bilinear product form (top/bot built from four (T,H,W,c) gathers)
+    # held ~6 GB of transients at the decoder's 720×480×32 level and
+    # OOMed the v5e (round-4 decomp ledger); per-axis is the same math
+    xa = x[:, :, x0] * (1 - fx)[None, None, :, None] \
+        + x[:, :, x1] * fx[None, None, :, None]          # (T, h, W, c)
+    return xa[:, y0] * (1 - fy)[None, :, None, None] \
+        + xa[:, y1] * fy[None, :, None, None]
 
 
 def _second_order_prop(p: Params, x: jnp.ndarray, reverse: bool,
@@ -866,6 +869,18 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
     T, H, W, _ = frames01.shape
     frames = frames01 * 2.0 - 1.0
 
+    def _phase(name, *sync):
+        """PP_DEBUG=1: force-sync the listed arrays and log the phase —
+        under the async axon runtime an OOM otherwise surfaces at a later
+        unrelated op (round-4 ledger debugging)."""
+        if os.environ.get("PP_DEBUG"):
+            import sys as _sys
+            import time as _time
+            for s in sync:
+                float(jnp.sum(s.astype(jnp.float32)[..., :1, :1]))
+            print(f"# pp[{_time.time():.0f}] {name}", file=_sys.stderr,
+                  flush=True)
+
     # ---- RAFT on width-dependent clips (infer.py:407-439) ----
     if W <= 640:
         clip = 12
@@ -888,16 +903,25 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
     else:
         flows_f, flows_b = raft_bi(raft_params, raft_cfg, frames)
 
+    _phase("raft", flows_f, flows_b)
+
     # ---- flow completion in subvideo chunks (infer.py:447-475) ----
+    # The reference chunks only above subvideo_length=80 (sized for a
+    # 24 GB GPU). The flow-completion decoder holds several
+    # (T, H, W, 32) tensors live, so on a 16 GB v5e the chunk must also
+    # scale with resolution: ~47 frames at 720×480 OOMed (round-4
+    # ledger). Same pad-5 overlap stitching as the reference.
     FL = T - 1
-    if FL > cfg.subvideo_length:
+    fc_chunk = max(8, min(cfg.subvideo_length,
+                          int(2.4e9 // (H * W * 500))))
+    if FL > fc_chunk:
         pf, pb = [], []
         pad = 5
-        for f in range(0, FL, cfg.subvideo_length):
+        for f in range(0, FL, fc_chunk):
             s_f = max(0, f - pad)
-            e_f = min(FL, f + cfg.subvideo_length + pad)
+            e_f = min(FL, f + fc_chunk + pad)
             ps = f - s_f
-            pe = e_f - min(FL, f + cfg.subvideo_length)
+            pe = e_f - min(FL, f + fc_chunk)
             of, ob = forward_bidirect_flow(
                 params["flow"], cfg, flows_f[s_f:e_f], flows_b[s_f:e_f],
                 masks[s_f:e_f + 1])
@@ -908,6 +932,8 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
     else:
         flows_f, flows_b = forward_bidirect_flow(
             params["flow"], cfg, flows_f, flows_b, masks)
+
+    _phase("flow_complete", flows_f, flows_b)
 
     # ---- image propagation in chunks (infer.py:487-520) ----
     masked = frames * (1 - masks)
@@ -934,6 +960,8 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
         upd_frames = frames * (1 - masks) + pi * masks
         upd_masks = pm
 
+    _phase("img_propagation", upd_frames, upd_masks)
+
     # ---- sliding neighbor/ref window + 0.5/0.5 blend (infer.py:522-560)
     frames_np = np.asarray(frames01)
     masks_np = np.asarray(masks)
@@ -955,6 +983,7 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
         pred = inpaint_forward(
             params["gen"], cfg, upd_frames[sidx], sel_flows_f,
             sel_flows_b, masks[sidx], upd_masks[sidx], lt)
+        _phase(f"inpaint_forward f={f}", pred)
         pred = np.asarray((pred + 1) / 2, np.float32)
         for i, idx in enumerate(neighbor_ids):
             m = masks_np[idx]

@@ -133,9 +133,23 @@ def render_over(rgb: jnp.ndarray, alpha: jnp.ndarray,
 
 def render_frames(verts_per_frame: jnp.ndarray, faces: jnp.ndarray,
                   colors: jnp.ndarray, focal, center, *, height: int,
-                  width: int, face_chunk: int = 512):
-    """vmap over frames: verts (T, V, 3) -> (T, H, W, 3), (T, H, W)."""
-    fn = lambda v: rasterize(v, faces, colors, focal, center, height=height,
-                             width=width, face_chunk=face_chunk)
-    rgb, alpha, depth = jax.vmap(fn)(verts_per_frame)
+                  width: int, face_chunk: int = 128):
+    """Frames rendered by a HOST loop over one jitted per-frame rasterize,
+    NOT vmap and NOT lax.map (measured on the round-4 real-chip ledger):
+    - vmap batches the (face_chunk, H, W) barycentric tensors to
+      (T, face_chunk, H, W) — ~34 GB live set at 48f/720×480/512 and the
+      XLA compile itself dies (tpu_compile_helper exit 1);
+    - lax.map compiles ONE program whose runtime scales with T — at T=48
+      it runs >60 s and the axon TPU worker's execution watchdog kills it
+      ("TPU worker process crashed"; T=2 and T=4 versions of the same
+      program pass).
+    The host loop reuses a single cached executable (~35 ms dispatch each,
+    rasterize itself dominates). verts (T, V, 3) -> (T, H, W, 3), (T, H, W).
+    """
+    outs = [rasterize(v, faces, colors, focal, center, height=height,
+                      width=width, face_chunk=face_chunk)
+            for v in verts_per_frame]
+    rgb = jnp.stack([o[0] for o in outs])
+    alpha = jnp.stack([o[1] for o in outs])
+    depth = jnp.stack([o[2] for o in outs])
     return rgb, alpha, depth

@@ -572,10 +572,17 @@ class SAM2VideoPredictor:
         self._orig = None
         self._cond: Optional[Dict[str, Any]] = None
 
-    def init_state(self, frames: List[np.ndarray]) -> None:
+    def init_state(self, frames: List[np.ndarray],
+                   enc_chunk: int = 8) -> None:
         """frames: list of (H, W, 3) uint8 RGB (in-memory, matching the
         reference's local mod sam2_video_predictor.py:48-60; resized to a
-        square image_size and ImageNet-normalized, utils/misc.py)."""
+        square image_size and ImageNet-normalized, utils/misc.py).
+
+        Encoding runs in `enc_chunk`-frame chunks: one jitted call over
+        all T frames OOMs a 16 GB v5e at T=48/1024² (Hiera-large stage-1
+        activations are ~19 MB/frame/tensor and the fused program's live
+        set scales with T; measured round 4). Chunks are padded to a
+        static shape so every call reuses one compiled executable."""
         import cv2
         S = self.cfg.image_size
         self._orig = frames[0].shape[:2]
@@ -584,9 +591,27 @@ class SAM2VideoPredictor:
             / IMG_STD for f in frames])
         # params as an explicit jit argument (closure constants embed into
         # the HLO — slow remote compiles, no cache reuse across weights)
-        feat16, s1, s0, pos16 = jax.jit(
-            lambda p, px: encode_frames(p, self.cfg, px))(
-                self.p, jnp.asarray(batch))
+        enc = jax.jit(lambda p, px: encode_frames(p, self.cfg, px))
+        T = batch.shape[0]
+        if T <= enc_chunk:
+            feat16, s1, s0, pos16 = enc(self.p, jnp.asarray(batch))
+        else:
+            f16s, s1s, s0s = [], [], []
+            for i in range(0, T, enc_chunk):
+                chunk = batch[i:i + enc_chunk]
+                pad = enc_chunk - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                f16, s1, s0, pos16 = enc(self.p, jnp.asarray(chunk))
+                if pad:
+                    f16, s1, s0 = f16[:-pad], s1[:-pad], s0[:-pad]
+                f16s.append(f16)
+                s1s.append(s1)
+                s0s.append(s0)
+            feat16 = jnp.concatenate(f16s, axis=0)
+            s1 = jnp.concatenate(s1s, axis=0)
+            s0 = jnp.concatenate(s0s, axis=0)
         self._feats = (feat16, s1, s0, pos16)
         self._cond = None
 

