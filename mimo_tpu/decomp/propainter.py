@@ -32,6 +32,7 @@ one matmul).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from dataclasses import dataclass
@@ -326,11 +327,16 @@ def flow_complete_forward(p: Params, cfg: ProPainterConfig,
     return L.conv2d(p["up"][1], _align_corners_2x(u), padding=1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def forward_bidirect_flow(p: Params, cfg: ProPainterConfig,
                           flows_f: jnp.ndarray, flows_b: jnp.ndarray,
                           masks: jnp.ndarray):
     """forward_bidirect_flow + combine_flow (recurrent_flow_completion.py
-    :300-345). flows_f/b: (T-1, H, W, 2); masks: (T, H, W, 1)."""
+    :300-345). flows_f/b: (T-1, H, W, 2); masks: (T, H, W, 1).
+
+    Jitted whole (round 4): the eager path dispatched each of the ~200
+    ops through the ~35 ms axon tunnel — the round-4 ledger's ~11 min
+    flow-complete wall was dominated by dispatch latency, not compute."""
     m_f = masks[:-1]
     m_b = masks[1:]
     pred_f = flow_complete_forward(p, cfg, flows_f * (1 - m_f), m_f)
@@ -359,6 +365,7 @@ def _fb_consistency(flow_fw, flow_bw, alpha1=0.01, alpha2=0.5):
     return (_length_sq(flow_diff) < thresh).astype(flow_fw.dtype)
 
 
+@jax.jit
 def img_propagation(frames: jnp.ndarray, flows_f: jnp.ndarray,
                     flows_b: jnp.ndarray, masks: jnp.ndarray):
     """Non-learnable BidirectionalPropagation (propainter.py:74-190,
@@ -506,7 +513,12 @@ def _unfold(x: jnp.ndarray, kernel, stride, padding) -> jnp.ndarray:
 def _fold(cols: jnp.ndarray, out_hw, kernel, stride, padding
           ) -> jnp.ndarray:
     """torch.nn.functional.fold: (T, oh, ow, C*kh*kw) channel-major ->
-    (T, H, W, C), overlaps SUMMED."""
+    (T, H, W, C), overlaps SUMMED.
+
+    Each tap's strided placement is a `lax.pad` with interior padding
+    (stride-1 zeros between patches) instead of a strided-slice
+    scatter-add: XLA lowers scatters serially on TPU, while pad+add is a
+    dense fusion — 49 taps collapse into one elementwise loop."""
     kh, kw = kernel
     sh, sw = stride
     ph, pw = padding
@@ -514,12 +526,18 @@ def _fold(cols: jnp.ndarray, out_hw, kernel, stride, padding
     T, oh, ow, _ = cols.shape
     C = cols.shape[-1] // (kh * kw)
     patches = cols.reshape(T, oh, ow, C, kh * kw)
-    out = jnp.zeros((T, H + 2 * ph, W + 2 * pw, C), cols.dtype)
+    Hp, Wp = H + 2 * ph, W + 2 * pw
+    zero = jnp.zeros((), cols.dtype)
+    out = jnp.zeros((T, Hp, Wp, C), cols.dtype)
     for i in range(kh):
         for j in range(kw):
             t = i * kw + j
-            out = out.at[:, i:i + (oh - 1) * sh + 1:sh,
-                         j:j + (ow - 1) * sw + 1:sw].add(patches[..., t])
+            out = out + jax.lax.pad(
+                patches[..., t], zero,
+                [(0, 0, 0),
+                 (i, Hp - i - (oh - 1) * sh - 1, sh - 1),
+                 (j, Wp - j - (ow - 1) * sw - 1, sw - 1),
+                 (0, 0, 0)])
     return out[:, ph:ph + H, pw:pw + W]
 
 
@@ -778,6 +796,7 @@ def encoder_forward(p: Params, cfg: ProPainterConfig,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "num_local"))
 def inpaint_forward(p: Params, cfg: ProPainterConfig,
                     masked_frames: jnp.ndarray, flows_f: jnp.ndarray,
                     flows_b: jnp.ndarray, masks_in: jnp.ndarray,
@@ -785,7 +804,12 @@ def inpaint_forward(p: Params, cfg: ProPainterConfig,
                     num_local: int) -> jnp.ndarray:
     """InpaintGenerator.forward (propainter.py:324-372): encode local +
     reference frames, learnable feature propagation on the local window,
-    sparse transformer over everything, decode the local frames."""
+    sparse transformer over everything, decode the local frames.
+
+    Jitted whole (round 4): eager, the fold/unfold tap loops alone are
+    ~1200 dispatches/window × ~35 ms tunnel latency — the measured
+    ~68 s/window in the round-4 ledger was dispatch-bound. One program
+    per (T, num_local) window variant, compile-cached."""
     T, H, W, _ = masked_frames.shape
     lt = num_local
     x = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)

@@ -14,6 +14,7 @@ sampling (ops/sampling.py); frame pairs batch in the leading axis.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
@@ -88,8 +89,10 @@ def _resunit_init(key, c_in, c_out, stride):
     return p
 
 
-def _resunit(p, x, kind):
-    s = int(p["stride"])  # plain int; npz roundtrips store it as an array
+def _resunit(p, x, kind, s: int):
+    # stride is architectural (2 on each layer's first unit) and must stay
+    # a Python int — p["stride"] (kept for checkpoint roundtrips) becomes
+    # a tracer under the round-4 whole-program jit
     h = jax.nn.relu(_norm(p["n1"], L.conv2d(p["conv1"], x, stride=s,
                                             padding=1), kind))
     h = jax.nn.relu(_norm(p["n2"], L.conv2d(p["conv2"], h, padding=1), kind))
@@ -117,12 +120,9 @@ def _encoder_init(key, cfg: RAFTConfig, out_dim: int) -> Params:
 def _encoder(p, x, kind="instance"):
     h = jax.nn.relu(_norm(p["stem_n"], L.conv2d(p["stem"], x, stride=2,
                                                 padding=3), kind))
-    for blk in p["layer1"]:
-        h = _resunit(blk, h, kind)
-    for blk in p["layer2"]:
-        h = _resunit(blk, h, kind)
-    for blk in p["layer3"]:
-        h = _resunit(blk, h, kind)
+    for layer, s0 in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
+        for i, blk in enumerate(p[layer]):
+            h = _resunit(blk, h, kind, s0 if i == 0 else 1)
     return L.conv2d(p["head"], h, padding=0)
 
 
@@ -298,10 +298,15 @@ def raft_flow(p: Params, cfg: RAFTConfig, img1: jnp.ndarray,
     return _upsample_flow(flow8.astype(jnp.float32), up_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def raft_bi(p: Params, cfg: RAFTConfig, frames: jnp.ndarray):
     """frames: (T, H, W, 3) in [-1, 1]. Returns (flow_fwd (T-1, H, W, 2),
     flow_bwd (T-1, H, W, 2)) — the RAFT_bi contract
-    (flow_comp_raft.py:27)."""
+    (flow_comp_raft.py:27).
+
+    Jitted whole (round 4): the eager path paid ~35 ms axon dispatch per
+    op (encoders + 20 scan iters of pyramid lookups); one cached program
+    per clip shape instead."""
     a, b = frames[:-1], frames[1:]
     fwd = raft_flow(p, cfg, a, b)
     bwd = raft_flow(p, cfg, b, a)

@@ -25,6 +25,24 @@ import jax.numpy as jnp
 
 FLASH_MIN_Q = 1024          # below this, XLA's fused path is fine
 _LANE = 128
+# global-shift softmax in the transposed flash kernels: the Cauchy-Schwarz
+# shift is precomputed over the whole key sequence outside the kernel,
+# deleting every per-block softmax-state VPU pass (flash_transposed.py).
+# Measured (tools/tune_flash.py + bench.py, v5e round 4): ISOLATED it wins
+# at lvl1 (sq=1568, 1-2 k blocks: cond 8.05->6.55 ms, unc 5.12->4.99) and
+# slightly loses at lvl0 (cond 34.2->35.3); IN-PROGRAM the lvl1 swap
+# regressed the denoise step 0.890->0.898 s (bench 0.8694->0.8635 fps) —
+# the knm XLA prepass is a serialization point that breaks the overlap
+# the isolated timing can't see (microbench caveat, BENCH_NOTES.md).
+# Default OFF; env override for experiments: MIMO_FLASH_GLOBAL_SHIFT=1.
+import os as _os
+_GS_ENV = _os.environ.get("MIMO_FLASH_GLOBAL_SHIFT")
+
+
+def _use_global_shift(sq: int) -> bool:
+    if _GS_ENV is not None:
+        return _GS_ENV != "0"
+    return False
 
 
 def _pad_to(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
@@ -222,7 +240,9 @@ def dispatch_sdpa_banked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                        sm_scale=1.0 / math.sqrt(d),
                                        block_q=bq, block_k=bk,
                                        batch_start=batch[0],
-                                       batch_count=batch[1])
+                                       batch_count=batch[1],
+                                       global_shift=_use_global_shift(
+                                           q.shape[1]))
     if batch != (0, 0):
         b0, bc = batch
         q, k, v = q[b0:b0 + bc], k[b0:b0 + bc], v[b0:b0 + bc]
@@ -252,7 +272,9 @@ def dispatch_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                       sm_scale=1.0 / math.sqrt(d),
                                       block_q=bq, block_k=bk,
                                       batch_start=batch[0],
-                                      batch_count=batch[1])
+                                      batch_count=batch[1],
+                                      global_shift=_use_global_shift(
+                                          q.shape[1]))
         if batch != (0, 0):
             q, k, v = (x[batch[0]:batch[0] + batch[1]] for x in (q, k, v))
         return flash_sdpa(q, k, v, heads)

@@ -163,3 +163,74 @@ def test_render_frames_vmap():
         height=16, width=16, face_chunk=1)
     assert rgb.shape == (3, 16, 16, 3)
     np.testing.assert_allclose(np.asarray(rgb[0]), np.asarray(rgb[2]))
+
+
+def test_rasterize_banded_matches_full():
+    """Row-band rasterizer == full-height kernel on a random mesh (z-buffer
+    is order-independent for distinct depths), and a band-violating mesh
+    reports bad=True so render_frames falls back to the exact kernel."""
+    rng = np.random.default_rng(7)
+    V, F = 60, 40
+    verts = np.stack([rng.uniform(-1, 1, V), rng.uniform(-1, 1, V),
+                      rng.uniform(1.5, 4.0, V)], axis=1).astype(np.float32)
+    faces = rng.integers(0, V, (F, 3)).astype(np.int32)
+    colors = rng.uniform(0, 1, (V, 3)).astype(np.float32)
+    focal = jnp.asarray(20.0)
+    center = jnp.asarray([24.0, 24.0])
+
+    rgb0, a0, d0 = R.rasterize(jnp.asarray(verts), jnp.asarray(faces),
+                               jnp.asarray(colors), focal, center,
+                               height=48, width=48, face_chunk=8)
+    rgb1, a1, d1, bad = R.rasterize_banded(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(colors),
+        focal, center, height=48, width=48, face_chunk=8, band=48)
+    # band == height: geometry can never violate, results exact
+    assert not bool(bad)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)
+
+    # small band: tall faces must raise the violation flag
+    _, _, _, bad8 = R.rasterize_banded(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(colors),
+        focal, center, height=48, width=48, face_chunk=8, band=8)
+    assert bool(bad8)
+
+    # render_frames with the small band must still be exact via fallback
+    rgbf, af, df = R.render_frames(
+        jnp.asarray(verts)[None], jnp.asarray(faces), jnp.asarray(colors),
+        focal, center, height=48, width=48, face_chunk=8, band=8,
+        band_chunk=8)
+    np.testing.assert_allclose(np.asarray(af[0]), np.asarray(a0))
+    np.testing.assert_allclose(np.asarray(df[0]), np.asarray(d0), atol=1e-5)
+
+
+def test_rasterize_banded_small_faces_exact():
+    """Mesh of short faces (fits the band): banded result == full kernel
+    without any fallback."""
+    rng = np.random.default_rng(11)
+    # grid of tiny triangles across the image
+    vs, fs = [], []
+    for gy in range(6):
+        for gx in range(6):
+            x = -0.9 + gx * 0.3
+            y = -0.9 + gy * 0.3
+            i = len(vs)
+            z = float(rng.uniform(2.0, 3.0))
+            vs += [[x, y, z], [x + 0.1, y, z], [x, y + 0.1, z]]
+            fs.append([i, i + 1, i + 2])
+    verts = jnp.asarray(vs, jnp.float32)
+    faces = jnp.asarray(fs, jnp.int32)
+    colors = jnp.asarray(rng.uniform(0, 1, (len(vs), 3)), jnp.float32)
+    focal = jnp.asarray(20.0)
+    center = jnp.asarray([24.0, 24.0])
+
+    rgb0, a0, d0 = R.rasterize(verts, faces, colors, focal, center,
+                               height=48, width=48, face_chunk=4)
+    rgb1, a1, d1, bad = R.rasterize_banded(
+        verts, faces, colors, focal, center, height=48, width=48,
+        face_chunk=4, band=16)
+    assert not bool(bad)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-5)

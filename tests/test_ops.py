@@ -72,12 +72,14 @@ def test_flash_nt_kernel_matches_oracle_interpret():
         q = rng.standard_normal((b, sq, heads * d)).astype(np.float32)
         k = rng.standard_normal((b, sk, heads * d)).astype(np.float32)
         v = rng.standard_normal((b, sk, heads * d)).astype(np.float32)
-        with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(flash_sdpa_t(jnp.asarray(q), jnp.asarray(k),
-                                          jnp.asarray(v), heads,
-                                          block_q=bq, block_k=bk))
         want = _sdpa_oracle(q, k, v, heads)
-        np.testing.assert_allclose(got, want, atol=2e-5)
+        for gs in (False, True):       # per-block vs global softmax shift
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(flash_sdpa_t(jnp.asarray(q), jnp.asarray(k),
+                                              jnp.asarray(v), heads,
+                                              block_q=bq, block_k=bk,
+                                              global_shift=gs))
+            np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_flash_nt_bank_kernel_matches_oracle_interpret():
@@ -98,15 +100,17 @@ def test_flash_nt_bank_kernel_matches_oracle_interpret():
         v = rng.standard_normal((b, sk1, heads * d)).astype(np.float32)
         kb = rng.standard_normal((1, sk2, heads * d)).astype(np.float32)
         vb = rng.standard_normal((1, sk2, heads * d)).astype(np.float32)
-        with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(flash_attention_nt_bank(
-                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                jnp.asarray(kb), jnp.asarray(vb), heads,
-                sm_scale=1.0 / math.sqrt(d), block_q=bq, block_k=bk))
         kcat = np.concatenate([k, np.broadcast_to(kb, (b,) + kb.shape[1:])], 1)
         vcat = np.concatenate([v, np.broadcast_to(vb, (b,) + vb.shape[1:])], 1)
         want = _sdpa_oracle(q, kcat, vcat, heads)
-        np.testing.assert_allclose(got, want, atol=2e-5)
+        for gs in (False, True):       # per-block vs global softmax shift
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(flash_attention_nt_bank(
+                    jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    jnp.asarray(kb), jnp.asarray(vb), heads,
+                    sm_scale=1.0 / math.sqrt(d), block_q=bq, block_k=bk,
+                    global_shift=gs))
+            np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_flash_nt_kernel_bf16_precision_pinned():

@@ -52,12 +52,16 @@ def main():
         h = n // 2
         bq, bk = A._pick_t_blocks(s, s, c, 2)
         print(f"{name}: bq={bq} bk={bk}", flush=True)
-        bench(f"{name} unc  (nt,   batch {h})", flash_attention_nt,
-              q, k, v, heads, sm_scale=sm, block_q=bq, block_k=bk,
-              batch_start=0, batch_count=h)
-        o = bench(f"{name} cond (bank, batch {h})", flash_attention_nt_bank,
-                  q, k, v, kb, vb, heads, sm_scale=sm, block_q=bq,
-                  block_k=bk, batch_start=h, batch_count=h)
+        for gs in (False, True):
+            tag = "gs" if gs else "pb"
+            bench(f"{name} unc  {tag} (nt,   batch {h})", flash_attention_nt,
+                  q, k, v, heads, sm_scale=sm, block_q=bq, block_k=bk,
+                  batch_start=0, batch_count=h, global_shift=gs)
+            o = bench(f"{name} cond {tag} (bank, batch {h})",
+                      flash_attention_nt_bank,
+                      q, k, v, kb, vb, heads, sm_scale=sm, block_q=bq,
+                      block_k=bk, batch_start=h, batch_count=h,
+                      global_shift=gs)
         # numerics spot check vs the XLA oracle on a small batch slice
         import numpy as np
         qs, ks_, vs = q[h:h + 2], k[h:h + 2], v[h:h + 2]
