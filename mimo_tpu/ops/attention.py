@@ -149,16 +149,15 @@ def _pick_t_blocks(sq: int, sk: int, inner: int, itemsize: int,
     logits tile. bq/bk land on the lane axis of the transposed compute ->
     128-multiples. Prefer a bk that divides Sk (skips the in-kernel edge
     masking)."""
-    # bq 640 on the 6272-row lvl0 shape: measured optimum for the
-    # bound-shift kernel (tools/sweep_flash_blocks.py, same-session A/B:
-    # unc 22.11->20.13, cond 36.87->34.67 ms vs bq=512). Other shapes
-    # keep the benched 512 (lvl1 was not re-swept; 512 is its measured
-    # point); the gate is == 6272, not >=, so an unswept larger query
-    # shape falls back to the conservative 512 rather than silently
-    # inheriting an untested block (ADVICE r3). Ragged q edges
-    # (6272 % 640 = 512) are the same handled envelope the shipped
-    # ragged bq=512 (6272 % 512 = 128) already uses.
-    bq = min(640 if sq == 6272 else 512, _ceil_to(sq, _LANE))
+    # bq 896 on the 6272-row lvl0 shape: exact divisor (7 q blocks, no
+    # ragged edge) — round-4 sweep beat the round-3 bq=640 (unc
+    # 20.07->19.42, cond 34.38->34.09 ms same-session; 784 regressed;
+    # in-program bench confirmed +0.5%). Other shapes keep the benched
+    # 512 (lvl1 was not re-swept; 512 is its measured point); the gate is
+    # == 6272, not >=, so an unswept larger query shape falls back to the
+    # conservative 512 rather than silently inheriting an untested block
+    # (ADVICE r3).
+    bq = min(896 if sq == 6272 else 512, _ceil_to(sq, _LANE))
     # worst-case head count for the scratch model when the caller does not
     # pass it (d >= 8 on this path, so heads <= inner // 8)
     n_h = heads if heads is not None else inner // 8

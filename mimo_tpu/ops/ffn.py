@@ -126,8 +126,22 @@ def _floor8(x: int) -> int:
     return x // 8 * 8
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float):
+def _pick_bm(r: int, c: int, inner: int, itemsize: int) -> int:
+    """Row block for the 2-D (row-major) FF kernel. Swept on v5e
+    (tools/sweep_ffn_blocks.py, round 4): FLAT at lvl0 (256-1536 all
+    within 1%% of 512) and 1024 REGRESSES lvl1 (7.43->8.05 ms) — the
+    round-2 512 stands. Never exceed the array extent (block > extent
+    makes the edge-block DMA read past the allocation — the documented
+    TPU-worker crash mode)."""
+    bm = min(512, _floor8(r))
+    while bm > 8 and not _budget_ok(c, inner, bm, itemsize):
+        bm //= 2
+    return bm
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "bm"))
+def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float,
+                    bm: int = 0):
     r, c = x2d.shape
     inner = wd.shape[0]
     # never let the block exceed the array extent: a block strictly larger
@@ -136,9 +150,7 @@ def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float):
     # an HBM arena (observed as "TPU worker crashed" on the tiny-shape
     # reference UNet — allocation-layout dependent, so standalone repros
     # pass while the full program crashes)
-    bm = min(512, _floor8(r))
-    while bm > 8 and not _budget_ok(c, inner, bm, x2d.dtype.itemsize):
-        bm //= 2
+    bm = bm or _pick_bm(r, c, inner, x2d.dtype.itemsize)
     nblk = -(-r // bm)
     return pl.pallas_call(
         functools.partial(_ffn_nsc_kernel, eps=eps),
@@ -159,13 +171,18 @@ def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float):
       bu.reshape(1, 2 * inner), wd, bd.reshape(1, c))
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _ffn_pallas_snc(x_t, scale, bias, wu, bu, wd, bd, eps: float):
+@functools.partial(jax.jit, static_argnames=("eps", "bs"))
+def _ffn_pallas_snc(x_t, scale, bias, wu, bu, wd, bd, eps: float,
+                    bs: int = 0):
     s, n, c = x_t.shape
     inner = wd.shape[0]
-    bs = max(1, min(512 // n, s))   # block must not exceed the S extent
-    while bs > 1 and not _budget_ok(c, inner, bs * n, x_t.dtype.itemsize):
-        bs //= 2
+    if not bs:
+        # swept round 4 (tools/sweep_ffn_blocks.py): bs 5-32 flat at lvl0,
+        # bs=16 regresses lvl1 (7.41->9.94 ms) — keep 512-row blocks
+        bs = max(1, min(512 // n, s))   # block must not exceed the S extent
+        while bs > 1 and not _budget_ok(c, inner, bs * n,
+                                        x_t.dtype.itemsize):
+            bs //= 2
     nblk = -(-s // bs)
     return pl.pallas_call(
         functools.partial(_ffn_snc_kernel, eps=eps),
