@@ -68,7 +68,8 @@ def _maybe(path: str, dtype=None):
 
 def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
                         tiny: bool = False,
-                        only: Optional[set] = None) -> DP.DecompModels:
+                        only: Optional[set] = None,
+                        mesh=None) -> DP.DecompModels:
     """tiny=True pairs with `gen_decomp_weights.py --tiny` bundles (the
     CPU smoke-test sizes); default configs are the real architectures.
 
@@ -76,8 +77,19 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
     docstring, e.g. {"sam", "sam2"}): the full zoo is ~6 GB of bf16
     device weights — more than half a v5e chip — so single-stage runs
     (tools/profile_decomp.py) must not pay for models they never call.
+
+    `mesh` (a 1-D jax.sharding.Mesh with a "data" axis) turns on
+    frame-parallel data sharding for the per-frame model forwards
+    (ViTPose, HMR2, HaMeR, the SDC rasterizer) — BASELINE.json config 5
+    ("frames data-parallel sharded across a v5e-8 mesh"). Weights
+    replicate; frame batches split; numerics match the single-device
+    path per sample (parallel/decomp.py).
     """
     models = DP.DecompModels()
+    if mesh is not None:
+        from mimo_tpu.parallel.decomp import frame_parallel
+    else:
+        frame_parallel = None
 
     def _want(name: str) -> bool:
         return only is None or name in only
@@ -117,8 +129,9 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
 
         # params as an explicit jit argument (closure constants embed into
         # the HLO — slow remote compiles, no cache reuse across weights)
-        hm_fn = jax.jit(
-            lambda p, c: VP.heatmaps_flip_test(p, vp_cfg, c))
+        _hm = lambda p, c: VP.heatmaps_flip_test(p, vp_cfg, c)
+        hm_fn = jax.jit(frame_parallel(_hm, mesh) if mesh is not None
+                        else _hm)
 
         def estimate_pose(frame, bbox):
             crop, cs = HMR.square_crop(frame, bbox,
@@ -129,6 +142,37 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
             return VP.decode_keypoints(np.asarray(hm, np.float32), box)[0]
 
         models.estimate_pose = estimate_pose
+
+        def estimate_pose_batch(frames, bboxes, batch: int = 8):
+            """Whole-clip pose: crop every frame host-side, run the
+            flip-test heatmaps in fixed-size padded batches (ONE compiled
+            program shape), decode all at once. The per-frame path costs
+            two B=1 ViT-huge dispatches/frame through the 35 ms tunnel —
+            the round-4 ledger's 134.6 s / 48f pose stage (VERDICT weak
+            #2; reference batches crops the same way,
+            mmpose/apis/inference.py:295)."""
+            crops, boxes_xywh = [], []
+            for f, bb in zip(frames, bboxes):
+                c, cs = HMR.square_crop(f, np.asarray(bb),
+                                        out_size=vp_cfg.backbone.img_size)
+                crops.append(c)
+                half = cs[2] / 2
+                boxes_xywh.append([cs[0] - half, cs[1] - half, cs[2], cs[2]])
+            crops = np.stack(crops)
+            hms = []
+            for i in range(0, len(crops), batch):
+                chunk = crops[i:i + batch]
+                pad = batch - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.broadcast_to(chunk[-1:],
+                                                (pad,) + chunk.shape[1:])])
+                hm = hm_fn(vp_params, jnp.asarray(chunk, dtype))
+                hms.append(np.asarray(hm, np.float32)[:batch - pad or None])
+            return VP.decode_keypoints(
+                np.concatenate(hms), np.asarray(boxes_xywh, np.float32))
+
+        models.estimate_pose_batch = estimate_pose_batch
 
         if models.automask is not None:
             from mimo_tpu.decomp.detector import PoseScoredDetector
@@ -177,7 +221,7 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
             hamer_params=_maybe(os.path.join(weights_dir, "hamer.npz"),
                                 dtype) if _want("hamer") else None,
             hamer_cfg=HMR.tiny_hmr_config() if tiny else HMR.hamer_config(),
-            smpl_model=smpl_model, sdc_colors=sdc_colors)
+            smpl_model=smpl_model, sdc_colors=sdc_colors, mesh=mesh)
         models.estimate_motion = est.estimate_motion
 
     raft_params = _maybe(os.path.join(weights_dir, "raft.npz"), dtype) \

@@ -80,17 +80,29 @@ class MotionEstimator:
     hamer_params: Any = None
     hamer_cfg: Optional[HM.HMRConfig] = None
     focal: float = 5000.0
+    mesh: Any = None            # 1-D "data" mesh -> frame-parallel forwards
 
     def __post_init__(self):
         # params are explicit jit ARGUMENTS: closure-captured jax.Arrays
         # are embedded into the lowered HLO as literals, which balloons
         # the (remote, slow) TPU compile and defeats the compile cache
         # whenever weight values change
-        self._hm_fwd = jax.jit(
+        if self.mesh is not None:
+            from mimo_tpu.parallel.decomp import frame_parallel
+            wrap = lambda fn: jax.jit(frame_parallel(fn, self.mesh))
+        else:
+            wrap = jax.jit
+        self._hm_fwd = wrap(
             lambda p, c: HM.hmr_forward(p, self.hmr_cfg, c))
         if self.hamer_params is not None:
-            self._hamer_fwd = jax.jit(
+            self._hamer_fwd = wrap(
                 lambda p, c: HM.hmr_forward(p, self.hamer_cfg, c))
+        if self.vitpose_params is not None:
+            # jitted: the whole-clip ViT-huge batch ran EAGER here until
+            # round 5 — hundreds of per-op dispatches through the 35 ms
+            # axon tunnel inside the 194 s motion-stage ledger entry
+            self._vp_hm = wrap(
+                lambda p, c: VP.heatmaps(p, self.vitpose_cfg, c))
         if self.sdc_colors is None:
             v = np.asarray(self.smpl_model.v_template)
             v = (v - v.min(0)) / (v.max(0) - v.min(0) + 1e-9)
@@ -188,9 +200,9 @@ class MotionEstimator:
                 crops.append(c)
                 half = cs[2] / 2
                 boxes_xywh.append([cs[0] - half, cs[1] - half, cs[2], cs[2]])
-            hm = VP.heatmaps(self.vitpose_params, self.vitpose_cfg,
+            hm = self._vp_hm(self.vitpose_params,
                              jnp.asarray(np.stack(crops)))
-            kpts = VP.decode_keypoints(np.asarray(hm),
+            kpts = VP.decode_keypoints(np.asarray(hm, np.float32),
                                        np.asarray(boxes_xywh, np.float32))
 
         hands = self.hand_params(frames, kpts)
@@ -209,11 +221,20 @@ class MotionEstimator:
         transl = HM.cam_crop_to_full(cams, css, W, H, self.focal)
         verts = verts + jnp.asarray(transl, verts.dtype)[:, None, :]
 
-        rgb, alpha, _ = REND.render_frames(
-            verts, jnp.asarray(self.smpl_model.faces, jnp.int32),
-            jnp.asarray(self.sdc_colors),
-            jnp.asarray(self.focal),
-            jnp.asarray([W / 2.0, H / 2.0]),
-            height=H, width=W)
+        if self.mesh is not None:
+            from mimo_tpu.parallel.decomp import render_frames_sharded
+            rgb, alpha, _ = render_frames_sharded(
+                verts, jnp.asarray(self.smpl_model.faces, jnp.int32),
+                jnp.asarray(self.sdc_colors),
+                jnp.asarray(self.focal),
+                jnp.asarray([W / 2.0, H / 2.0]),
+                height=H, width=W, mesh=self.mesh)
+        else:
+            rgb, alpha, _ = REND.render_frames(
+                verts, jnp.asarray(self.smpl_model.faces, jnp.int32),
+                jnp.asarray(self.sdc_colors),
+                jnp.asarray(self.focal),
+                jnp.asarray([W / 2.0, H / 2.0]),
+                height=H, width=W)
         sdc = np.asarray(rgb * alpha[..., None])
         return (np.clip(sdc, 0, 1) * 255).astype(np.uint8)

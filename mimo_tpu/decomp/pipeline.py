@@ -55,6 +55,7 @@ class DecompModels:
     - segment_box(frame, bbox) -> bool mask
     - track_video(frames, seed_mask, seed_frame) -> (T, H, W) bool
     - estimate_pose(frame, bbox) -> (K, 3) keypoints   [full-body check]
+    - estimate_pose_batch(frames, bboxes) -> (T, K, 3)  [batched clips]
     - estimate_motion(frames, masks, bboxes) -> (T, H, W, 3) uint8 sdc
     - inpaint(frames01, masks) -> (T, H, W, 3) float backgrounds
     - automask(frame) -> list of {"segmentation": ...}
@@ -65,6 +66,7 @@ class DecompModels:
     segment_box: Optional[Callable] = None
     track_video: Optional[Callable] = None
     estimate_pose: Optional[Callable] = None
+    estimate_pose_batch: Optional[Callable] = None
     estimate_motion: Optional[Callable] = None
     inpaint: Optional[Callable] = None
     automask: Optional[Callable] = None

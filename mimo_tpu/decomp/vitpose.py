@@ -142,14 +142,22 @@ def heatmaps_flip_test(p: Params, cfg: ViTPoseConfig, crops: jnp.ndarray,
     run the horizontally-flipped crop, swap mirrored keypoint channels and
     un-flip (post_transforms.py:110-148 flip_back), shift the flipped
     heatmap one pixel right (topdown_heatmap_simple_head.py:222-224), then
-    average with the direct heatmap."""
+    average with the direct heatmap.
+
+    Direct and flipped crops ride ONE doubled batch through the backbone
+    (per-sample math is independent, so numerics match two separate calls):
+    one ViT program of 2B fills the MXU where two B-sized programs each
+    paid dispatch + half-empty batches — at B=1 through the 35 ms axon
+    tunnel the split form was the round-4 pose-stage bottleneck."""
     if flip_pairs is None:
         flip_pairs = [pr for pr in COCO_WHOLEBODY_FLIP_PAIRS
                       if pr[1] < cfg.num_keypoints]
-    hm = heatmaps(p, cfg, crops)
     if not cfg.flip_test:
-        return hm
-    hm_f = heatmaps(p, cfg, crops[:, :, ::-1])
+        return heatmaps(p, cfg, crops)
+    b = crops.shape[0]
+    hm2 = heatmaps(p, cfg,
+                   jnp.concatenate([crops, crops[:, :, ::-1]], axis=0))
+    hm, hm_f = hm2[:b], hm2[b:]
     perm = _flip_perm(cfg.num_keypoints, flip_pairs)
     hm_f = hm_f[..., perm][:, :, ::-1]           # swap pairs, un-flip W
     # shift_heatmap: duplicate column 0, drop the last (NKHW [..., 1:] =

@@ -129,7 +129,7 @@ def _floor8(x: int) -> int:
 def _pick_bm(r: int, c: int, inner: int, itemsize: int) -> int:
     """Row block for the 2-D (row-major) FF kernel. Swept on v5e
     (tools/sweep_ffn_blocks.py, round 4): FLAT at lvl0 (256-1536 all
-    within 1%% of 512) and 1024 REGRESSES lvl1 (7.43->8.05 ms) — the
+    within 1% of 512) and 1024 REGRESSES lvl1 (7.43->8.05 ms) — the
     round-2 512 stands. Never exceed the array extent (block > extent
     makes the edge-block DMA read past the allocation — the documented
     TPU-worker crash mode)."""
@@ -150,7 +150,13 @@ def _ffn_pallas_nsc(x2d, scale, bias, wu, bu, wd, bd, eps: float,
     # an HBM arena (observed as "TPU worker crashed" on the tiny-shape
     # reference UNet — allocation-layout dependent, so standalone repros
     # pass while the full program crashes)
-    bm = bm or _pick_bm(r, c, inner, x2d.dtype.itemsize)
+    if bm:
+        # sweep overrides must still respect the extent + VMEM invariants
+        bm = min(bm, max(8, _floor8(r)))
+        assert _budget_ok(c, inner, bm, x2d.dtype.itemsize), (
+            f"bm={bm} over the VMEM budget for C={c}, inner={inner}")
+    else:
+        bm = _pick_bm(r, c, inner, x2d.dtype.itemsize)
     nblk = -(-r // bm)
     return pl.pallas_call(
         functools.partial(_ffn_nsc_kernel, eps=eps),
@@ -176,7 +182,12 @@ def _ffn_pallas_snc(x_t, scale, bias, wu, bu, wd, bd, eps: float,
                     bs: int = 0):
     s, n, c = x_t.shape
     inner = wd.shape[0]
-    if not bs:
+    if bs:
+        # sweep overrides must still respect the extent + VMEM invariants
+        bs = min(bs, s)
+        assert _budget_ok(c, inner, bs * n, x_t.dtype.itemsize), (
+            f"bs={bs} over the VMEM budget for n={n}, C={c}, inner={inner}")
+    else:
         # swept round 4 (tools/sweep_ffn_blocks.py): bs 5-32 flat at lvl0,
         # bs=16 regresses lvl1 (7.41->9.94 ms) — keep 512-row blocks
         bs = max(1, min(512 // n, s))   # block must not exceed the S extent

@@ -141,8 +141,10 @@ def main():
             models.track_video(frames, masks[0], 0)
             if models.track_video else None))
 
-    # --- pose: ViTPose per frame ----------------------------------------
-    if models.estimate_pose is not None:
+    # --- pose: ViTPose, whole clip batched (8-frame padded batches) ------
+    if models.estimate_pose_batch is not None:
+        stage("pose", lambda: models.estimate_pose_batch(frames, boxes))
+    elif models.estimate_pose is not None:
         stage("pose", lambda: [models.estimate_pose(frames[i], boxes[i])
                                for i in range(T)])
 

@@ -9,6 +9,7 @@ through the ~35 ms axon tunnel). This tool times the whole-program jits
 
 Usage: python tools/profile_inpaint.py [--cpu] [--tiny] [--trace]
        [--height 720] [--width 480] [--skip raft,flow,img,inpaint]
+       [--weights-dir /tmp/decomp_weights]
 """
 
 import argparse
@@ -32,6 +33,11 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--skip", default="")
+    ap.add_argument("--weights-dir", default="/tmp/decomp_weights",
+                    help="load propainter.npz/raft.npz from here when "
+                         "present (random init of the full-size models "
+                         "ON the TPU pays a 5-15 s remote compile per "
+                         "unique init op — tens of minutes)")
     args = ap.parse_args()
 
     import jax
@@ -59,11 +65,26 @@ def main():
     rcfg = RAFT.tiny_raft_config() if args.tiny else RAFT.RAFTConfig()
 
     t0 = time.time()
-    pp = jax.tree.map(lambda x: x.astype(dtype),
-                      PP.propainter_init(key, pcfg))
-    rp = jax.tree.map(lambda x: x.astype(dtype),
-                      RAFT.raft_init(key, rcfg))
-    print(f"[{time.time() - t0:6.1f}s] params ready", flush=True)
+    pp_path = os.path.join(args.weights_dir, "propainter.npz")
+    rp_path = os.path.join(args.weights_dir, "raft.npz")
+    if not args.tiny and os.path.exists(pp_path) and os.path.exists(rp_path):
+        from mimo_tpu.decomp.factory import _maybe
+        pp = _maybe(pp_path, dtype)
+        rp = _maybe(rp_path, dtype)
+        print(f"[{time.time() - t0:6.1f}s] params loaded from "
+              f"{args.weights_dir}", flush=True)
+    else:
+        # tiny / no bundles: init on CPU (eager full-size init on the TPU
+        # compiles every unique op shape remotely), then transfer
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            pp = jax.tree.map(lambda x: np.asarray(x).astype(np.float32),
+                              PP.propainter_init(key, pcfg))
+            rp = jax.tree.map(lambda x: np.asarray(x).astype(np.float32),
+                              RAFT.raft_init(key, rcfg))
+        pp = jax.tree.map(lambda x: jnp.asarray(x, dtype), pp)
+        rp = jax.tree.map(lambda x: jnp.asarray(x, dtype), rp)
+        print(f"[{time.time() - t0:6.1f}s] params ready", flush=True)
 
     def sync(out):
         leaves = jax.tree.leaves(out)

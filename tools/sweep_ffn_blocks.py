@@ -3,7 +3,7 @@ production denoise-step shapes (lvl0/lvl1, nsc and snc variants).
 
 The kernels shipped with bm=512 from round 2 without a sweep; the flash
 sweep (tools/sweep_flash_blocks.py) showed the 512 default was leaving
-~8%% on the table there, so re-check here. Usage:
+~8% on the table there, so re-check here. Usage:
     python tools/sweep_ffn_blocks.py
 """
 
@@ -54,8 +54,12 @@ def main():
         bd = jax.random.normal(ks[6], (c,), jnp.bfloat16)
         flops = r * (c * 2 * inner + inner * c) * 2
         for bm in (256, 512, 768, 1024, 1536, 2048):
+            if bm > r:
+                print(f"nsc {label} bm={bm}: skipped (block > row extent "
+                      f"{r})", flush=True)
+                continue
             if not F._budget_ok(c, inner, bm, 2):
-                print(f"nsc {label} bm={bm}: over budget", flush=True)
+                print(f"nsc {label} bm={bm}: over VMEM budget", flush=True)
                 continue
             try:
                 dt = bench(F._ffn_pallas_nsc, x, scale, bias, wu, bu, wd,
@@ -80,8 +84,12 @@ def main():
         bd = jax.random.normal(ks[6], (c,), jnp.bfloat16)
         flops = s * n * (c * 2 * inner + inner * c) * 2
         for bs in (5, 8, 10, 16, 21, 32):
-            if bs > s or not F._budget_ok(c, inner, bs * n, 2):
-                print(f"snc {label} bs={bs}: over budget", flush=True)
+            if bs > s:
+                print(f"snc {label} bs={bs}: skipped (block > S extent {s})",
+                      flush=True)
+                continue
+            if not F._budget_ok(c, inner, bs * n, 2):
+                print(f"snc {label} bs={bs}: over VMEM budget", flush=True)
                 continue
             try:
                 dt = bench(F._ffn_pallas_snc, x, scale, bias, wu, bu, wd,
