@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from mimo_tpu.models import layers as L
-from mimo_tpu.ops.sampling import bilinear_sample_batch
 
 Params = Dict[str, Any]
 
@@ -206,21 +205,54 @@ def _corr_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
 
 def _corr_lookup(pyr, coords: jnp.ndarray, radius: int):
     """coords: (B, H, W, 2) current correspondence. Returns
-    (B, H, W, levels*(2r+1)^2)."""
+    (B, H, W, levels*(2r+1)^2).
+
+    TPU-native formulation (round 5): the reference's grid_sample lookup
+    (RAFT/corr.py:50-71) gathers 4 single-f32 corners per tap — on TPU
+    XLA lowers that to scalar-gather fusion loops measured at ~1.08 s
+    PER refinement iteration (43 of raft_bi's 45.6 s steady wall;
+    tools/profile_raft.py xplane). Bilinear sampling is linear in the
+    volume and the tap offsets are integers, so the whole (2r+1)^2
+    window lookup is two SEPARABLE dense contractions per level:
+
+        out[n, ky, kx] = sum_{py,px} My[n,ky,py] Mx[n,kx,px] vol[n,py,px]
+
+    with My/Mx carrying the two bilinear corner weights per row (built
+    by iota comparison — rows outside the volume match nothing, which
+    IS grid_sample's padding_mode='zeros'). Numerics match the gather
+    path to fp reassociation: floor(c+k) == floor(c)+k for integer k,
+    so corner indices and weights are identical. The batched matmuls
+    run on the MXU: ~8 GFLOP/iter replaces the gather fusions.
+    """
     B, H, W, _ = coords.shape
+    N = B * H * W
     r = radius
-    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1)  # (s,s,2)
     s = 2 * r + 1
+    flat = coords.reshape(N, 2).astype(jnp.float32)
+    ks = jnp.arange(-r, r + 1, dtype=jnp.float32)
+
+    def taps_matrix(cc, n_pix):
+        """cc: (N,) tap-center coords along one axis -> (N, s, n_pix)
+        bilinear weights for the s integer-offset taps."""
+        f0 = jnp.floor(cc)
+        frac = (cc - f0)[:, None, None]            # (N, 1, 1)
+        base = f0[:, None] + ks[None]              # (N, s)
+        pix = jnp.arange(n_pix, dtype=jnp.float32)[None, None]
+        tt = base[..., None]                       # (N, s, 1)
+        return ((pix == tt) * (1.0 - frac) + (pix == tt + 1.0) * frac)
+
     out = []
-    flat_coords = coords.reshape(B * H * W, 2)
     for lvl, vol in enumerate(pyr):
-        c = flat_coords / (2 ** lvl)
-        pts = c[:, None, None, :] + delta[None]        # (N, s, s, 2)
-        # grid_sample padding_mode='zeros' semantics (RAFT/utils/utils.py:58):
-        # out-of-range taps taper bilinearly to zero, not border-clamp.
-        sampled = bilinear_sample_batch(vol, pts, zero_outside=True)
-        out.append(sampled.reshape(B, H, W, s * s))
+        hl, wl = vol.shape[1], vol.shape[2]
+        c = flat / (2.0 ** lvl)
+        My = taps_matrix(c[:, 1], hl)              # (N, s, hl)
+        Mx = taps_matrix(c[:, 0], wl)              # (N, s, wl)
+        v = vol.reshape(N, hl, wl)
+        tmp = jnp.einsum("nsh,nhw->nsw", My, v,
+                         preferred_element_type=jnp.float32)
+        res = jnp.einsum("nsw,ntw->nst", tmp, Mx,
+                         preferred_element_type=jnp.float32)
+        out.append(res.reshape(B, H, W, s * s))
     return jnp.concatenate(out, axis=-1)
 
 

@@ -38,7 +38,35 @@ def main():
                          "present (random init of the full-size models "
                          "ON the TPU pays a 5-15 s remote compile per "
                          "unique init op — tens of minutes)")
+    ap.add_argument("--one", default="",
+                    help="internal: run only this program in-process")
     args = ap.parse_args()
+
+    ALL = ["raft", "flow", "img", "inpaint"]
+    if not args.one:
+        # one subprocess per program: a TPU-worker crash in one program
+        # (execution watchdog, OOM) must not lose the others' numbers —
+        # round-5 first run died at flow and never measured img/inpaint
+        import subprocess
+        skip = set(args.skip.split(",")) if args.skip else set()
+        rc = 0
+        for prog in ALL:
+            if prog in skip:
+                continue
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--one", prog, "--height", str(args.height),
+                   "--width", str(args.width),
+                   "--weights-dir", args.weights_dir]
+            if args.cpu:
+                cmd.append("--cpu")
+            if args.tiny:
+                cmd.append("--tiny")
+            if args.trace and prog == "inpaint":
+                cmd.append("--trace")
+            r = subprocess.call(cmd)
+            rc = rc or r
+        raise SystemExit(rc)
+    args.skip = ",".join(p for p in ALL if p != args.one)
 
     import jax
     if args.cpu:
