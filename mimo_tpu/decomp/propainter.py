@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 
 from mimo_tpu.models import layers as L
-from mimo_tpu.ops.sampling import deform_conv2d, flow_warp
+from mimo_tpu.ops.sampling import (deform_conv2d, deform_conv2d_window,
+                                   flow_warp)
 
 Params = Dict[str, Any]
 
@@ -132,8 +133,17 @@ def _deform_align(p: Params, x: jnp.ndarray, cond: jnp.ndarray,
         # flow.flip(1) -> (dy, dx) pairs repeated over all (group, tap)
         fl = flow[..., ::-1]
         offset = offset + jnp.tile(fl, (1, 1, 1, offset.shape[-1] // 2))
-    return deform_conv2d(x, offset, p["kernel"], p["bias"],
-                         mask=jax.nn.sigmoid(mask), deform_groups=groups)
+        return deform_conv2d(x, offset, p["kernel"], p["bias"],
+                             mask=jax.nn.sigmoid(mask),
+                             deform_groups=groups)
+    # no flow prior -> offsets bounded by max_residue*tanh: use the
+    # gather-free static-window kernel (ops/sampling.py). The gather form
+    # unrolled ~40k HLO ops at the flow-completion shape — 637 s compile
+    # for an 8f program and a worker crash at 23f (round-5 profile_flow).
+    return deform_conv2d_window(x, offset, p["kernel"], p["bias"],
+                                mask=jax.nn.sigmoid(mask),
+                                deform_groups=groups,
+                                max_abs_offset=max_residue)
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,93 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return bilinear_sample_batch(img, base + flow)
 
 
+def deform_conv2d_window(x: jnp.ndarray, offsets: jnp.ndarray,
+                         kernel: jnp.ndarray,
+                         bias: jnp.ndarray | None = None,
+                         mask: jnp.ndarray | None = None,
+                         kh: int = 3, kw: int = 3,
+                         deform_groups: int = 1,
+                         max_abs_offset: float = 5.0) -> jnp.ndarray:
+    """Exact deform_conv2d for BOUNDED offsets, without gathers.
+
+    Valid when every learned offset satisfies |offset| <= max_abs_offset
+    (ProPainter's alignment offsets are `max_residue * tanh(.)`,
+    recurrent_flow_completion.py:41 / propainter.py:63 — bounded by
+    construction when no flow prior is added). Then every sampling
+    position lies within K + max_abs_offset of its pixel, so the whole
+    bilinear sampling is a contraction over a STATIC (D x D) window of
+    shifted copies of x, with separable iota-comparison weights:
+
+        out[p,g,t,c] = sum_dx wx[p,g,t,dx] (sum_dy wy[p,g,t,dy]
+                                             x[y+dy, x+dx, g*cg:])
+
+    This replaces the per-(tap,group) scalar gathers — the same TPU
+    pathology as RAFT's corr lookup (43 of 45.6 s; see decomp/raft.py
+    _corr_lookup) — with dense VPU/MXU math: ~2.4 GFLOP per call at the
+    flow-completion shape. Out-of-image taps contribute zero via the
+    zero-padded shifts (torchvision padding_mode='zeros' semantics).
+    Numerics match deform_conv2d to fp reassociation.
+
+    Same signature/layout as deform_conv2d plus `max_abs_offset`.
+    """
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    G = deform_groups
+    cg = Cin // G
+    K = max((kh - 1) // 2, (kw - 1) // 2)
+    import numpy as _np
+    R = int(_np.ceil(max_abs_offset))
+    lo, hi = K + R, K + R + 1
+    D = lo + hi + 1
+
+    # absolute per-axis tap positions relative to the pixel:
+    # (B, H, W, G, kh*kw)
+    off = offsets.reshape(B, H, W, G, kh * kw, 2)
+    tap_dy = jnp.asarray([(t // kw) - (kh - 1) / 2
+                          for t in range(kh * kw)], jnp.float32)
+    tap_dx = jnp.asarray([(t % kw) - (kw - 1) / 2
+                          for t in range(kh * kw)], jnp.float32)
+    ay = off[..., 0].astype(jnp.float32) + tap_dy
+    ax = off[..., 1].astype(jnp.float32) + tap_dx
+
+    def win_weights(a):
+        """(..., ) positions -> (..., D) bilinear weights over the static
+        window delta in [-lo, hi]."""
+        f0 = jnp.floor(a)
+        frac = a - f0
+        delta = jnp.arange(D, dtype=jnp.float32) - lo
+        eq0 = (delta == f0[..., None])
+        eq1 = (delta == f0[..., None] + 1.0)
+        return eq0 * (1.0 - frac[..., None]) + eq1 * frac[..., None]
+
+    wy = win_weights(ay)                     # (B,H,W,G,T,D)
+    wx = win_weights(ax)
+
+    xg = x.reshape(B, H, W, G, cg).astype(jnp.float32)
+    xpad = jnp.pad(xg, ((0, 0), (lo, hi), (lo, hi), (0, 0), (0, 0)))
+
+    # loop the x-window statically; contract the y-window per shift
+    out_taps = jnp.zeros((B, H, W, G, kh * kw, cg), jnp.float32)
+    ydy = jnp.stack([xpad[:, d:d + H, :, :, :] for d in range(D)], axis=0)
+    for dx in range(D):
+        col = ydy[:, :, :, dx:dx + W]        # (D, B, H, W, G, cg)
+        s = jnp.einsum("dbhwgc,bhwgtd->bhwgtc", col, wy)
+        out_taps = out_taps + s * wx[..., dx][..., None]
+    if mask is not None:
+        m = mask.reshape(B, H, W, G, kh * kw)
+        out_taps = out_taps * m[..., None].astype(jnp.float32)
+
+    # torchvision column order: (g, tap) blocks -> (tap, g) for the matmul
+    stacked = out_taps.transpose(0, 1, 2, 4, 3, 5).reshape(
+        B, H, W, kh * kw * Cin).astype(x.dtype)
+    kmat = kernel.reshape(kh * kw * Cin, Cout)
+    out = stacked.reshape(-1, kh * kw * Cin) @ kmat.astype(stacked.dtype)
+    out = out.reshape(B, H, W, Cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
                   bias: jnp.ndarray | None = None,
                   mask: jnp.ndarray | None = None,

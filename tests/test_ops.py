@@ -144,3 +144,30 @@ def test_flash_nt_kernel_bf16_precision_pinned():
     # absolute envelope of 0.25 (~3 bf16 ulps at this magnitude) pins the
     # tradeoff without flaking.
     np.testing.assert_allclose(got, want, atol=0.25)
+
+
+def test_deform_conv2d_window_matches_gather():
+    """The static-window deform kernel (bounded offsets) must reproduce
+    the gather-based deform_conv2d exactly (fp reassociation only)."""
+    from mimo_tpu.ops.sampling import deform_conv2d, deform_conv2d_window
+
+    rng = np.random.default_rng(0)
+    B, H, W, Cin, Cout, G = 2, 9, 11, 8, 6, 2
+    kh = kw = 3
+    x = jnp.asarray(rng.normal(size=(B, H, W, Cin)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(kh, kw, Cin, Cout)) * 0.2,
+                         jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(Cout,)), jnp.float32)
+    # bounded offsets, incl. fractional + exactly-integer + out-of-image
+    off = jnp.asarray(rng.uniform(-3.0, 3.0, (B, H, W, G * kh * kw * 2)),
+                      jnp.float32)
+    off = off.at[0, 0, 0, 0].set(2.0)         # exact integer corner case
+    mask = jnp.asarray(rng.uniform(0, 1, (B, H, W, G * kh * kw)),
+                       jnp.float32)
+
+    want = deform_conv2d(x, off, kernel, bias, mask=mask, kh=kh, kw=kw,
+                         deform_groups=G)
+    got = deform_conv2d_window(x, off, kernel, bias, mask=mask, kh=kh,
+                               kw=kw, deform_groups=G, max_abs_offset=3.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)

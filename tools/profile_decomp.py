@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--stages", default="track,pose,motion,bk,occ")
+    ap.add_argument("--trace", action="store_true",
+                    help="xplane-trace each stage and print its top ops")
     args = ap.parse_args()
 
     stages = args.stages.split(",")
@@ -77,6 +79,8 @@ def main():
                 cmd.append("--tiny")
             if args.cpu:
                 cmd.append("--cpu")
+            if args.trace:
+                cmd.append("--trace")
             r = subprocess.call(cmd)
             rc = rc or r
         raise SystemExit(rc)
@@ -113,15 +117,49 @@ def main():
     frames, masks, boxes = synth_frames(T, H, W)
     ledger = {}
 
+    def _print_trace(name, trace_dir):
+        import glob
+        from collections import defaultdict
+        paths = sorted(glob.glob(os.path.join(trace_dir, "**",
+                                              "*.xplane.pb"),
+                                 recursive=True))
+        if not paths:
+            print(f"  [{name}] no xplane written", flush=True)
+            return
+        from jax.profiler import ProfileData
+        pd = ProfileData.from_serialized_xspace(open(paths[-1], "rb").read())
+        totals = defaultdict(float)
+        counts = defaultdict(int)
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "CPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    key = ev.name.split(".")[0]
+                    totals[key] += ev.duration_ns / 1e6
+                    counts[key] += 1
+        print(f"  [{name}] xplane XLA-Ops sum {sum(totals.values()):.0f} ms;"
+              f" top 15:", flush=True)
+        for nm, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"    {ms:10.1f} ms  x{counts[nm]:<6d} {nm}", flush=True)
+
     def stage(name, fn):
         if name not in stages:
             return None
+        trace_dir = None
+        if args.trace:
+            trace_dir = f"/tmp/decomp_trace_{name}"
+            jax.profiler.start_trace(trace_dir)
         t = time.time()
         try:
             out = fn()
         except Exception as e:
             dt = time.time() - t
             import traceback
+            if trace_dir:
+                jax.profiler.stop_trace()
             ledger[name] = (dt, f"FAILED {type(e).__name__}: {str(e)[:200]}")
             print(f"[{time.time() - T0:7.1f}s] {name}: FAILED after "
                   f"{dt:.1f}s — {type(e).__name__}: {str(e)[:2000]}",
@@ -129,9 +167,13 @@ def main():
             traceback.print_exc()
             return None
         dt = time.time() - t
+        if trace_dir:
+            jax.profiler.stop_trace()
         ledger[name] = (dt, "ok")
         print(f"[{time.time() - T0:7.1f}s] {name}: {dt:.1f}s "
               f"({dt / T * 1000:.0f} ms/frame)", flush=True)
+        if trace_dir:
+            _print_trace(name, trace_dir)
         return out
 
     # --- track: first-frame SAM + SAM2 propagation ----------------------
