@@ -157,10 +157,18 @@ def _attn(blk: Params, x: jnp.ndarray, heads: int, dout: int,
         oh, ow = q.shape[1], q.shape[2]
         q = q.reshape(b, oh * ow, dout)
     d = dout // heads
-    o = jax.nn.dot_product_attention(
-        q.reshape(b, -1, heads, d), k.reshape(b, -1, heads, d),
-        v.reshape(b, -1, heads, d))
-    o = o.reshape(b, oh * ow, dout)
+    if q.shape[1] >= 1024 and d % 8 == 0 and d <= 160:
+        # SAM2's global-attention blocks (stage-3 grid 64x64 = 4096
+        # tokens at the 1024^2 encode) ride the flash dispatch — same
+        # rationale as decomp/vit.py::_attn_plain (VERDICT r4 #5;
+        # reference: sam2/modeling/backbones/hieradet.py:37-86)
+        from mimo_tpu.ops.attention import dispatch_sdpa
+        o = dispatch_sdpa(q, k, v, heads)
+    else:
+        o = jax.nn.dot_product_attention(
+            q.reshape(b, -1, heads, d), k.reshape(b, -1, heads, d),
+            v.reshape(b, -1, heads, d))
+        o = o.reshape(b, oh * ow, dout)
     return L.linear(blk["proj_attn"], o), oh, ow
 
 

@@ -250,6 +250,17 @@ def vit_apply(p: Params, cfg: ViTConfig, pixels: jnp.ndarray,
 
 def _attn_plain(p: Params, x: jnp.ndarray, heads: int) -> jnp.ndarray:
     b, s, d = x.shape
+    if s >= 1024:
+        # Long unbiased sequences (DepthAnything's DINOv2-L at 518^2:
+        # S=1370) ride the same flash dispatch as the UNet — XLA's plain
+        # path materializes the score matrix; the dispatcher pads ragged
+        # S to a lane multiple with SegmentIds masking (exact), and on
+        # CPU/short-S falls back to jax.nn.dot_product_attention
+        # (VERDICT r4 #5; reference: depth_anything_v2/dinov2.py:44).
+        from mimo_tpu.ops.attention import dispatch_sdpa
+        qkv = L.linear(p["qkv"], x)
+        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+        return L.linear(p["proj"], dispatch_sdpa(q, k, v, heads))
     qkv = L.linear(p["qkv"], x).reshape(b, s, 3, heads, d // heads)
     o = jax.nn.dot_product_attention(qkv[:, :, 0], qkv[:, :, 1],
                                      qkv[:, :, 2])

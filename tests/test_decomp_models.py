@@ -169,3 +169,25 @@ def test_vitpose_flip_test_matches_oracle():
     np.testing.assert_allclose(got, want, atol=1e-6)
     # and the flip branch actually changes the result
     assert np.abs(got - direct).max() > 1e-6
+
+
+def test_attn_plain_long_seq_dispatch_matches_short_path():
+    """The flash-dispatch branch of _attn_plain (S >= 1024) must equal the
+    reshape-based XLA path — on CPU the dispatcher falls back to the same
+    dot_product_attention, so this pins the q/k/v slicing layout."""
+    from mimo_tpu.decomp.vit import _attn_plain
+    from mimo_tpu.models import layers as L
+
+    d, heads, s, b = 32, 4, 1030, 2
+    key = jax.random.PRNGKey(0)
+    p = {"qkv": L.linear_init(key, d, 3 * d),
+         "proj": L.linear_init(jax.random.PRNGKey(1), d, d)}
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, s, d))
+    got = _attn_plain(p, x, heads)
+
+    qkv = L.linear(p["qkv"], x).reshape(b, s, 3, heads, d // heads)
+    o = jax.nn.dot_product_attention(qkv[:, :, 0], qkv[:, :, 1],
+                                     qkv[:, :, 2])
+    want = L.linear(p["proj"], o.reshape(b, s, d))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
