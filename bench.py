@@ -172,9 +172,13 @@ def main():
         "clip": CV.clip_vision_init(ks[4], cfg.clip_vision, dtype=dtype),
     }
 
+    # vae_chunk: 8 and 24 measured within 5 ms of each other on decode
+    # (0.694 vs 0.690, round-4 sweep; chunk 6/12 regress badly) — env
+    # override for same-session A/B without editing the file
     st = pose2vid.Pose2VideoStatic(
         cfg=cfg, num_frames=F, height=H, width=W,
-        num_inference_steps=steps, guidance_scale=3.5, vae_chunk=8)
+        num_inference_steps=steps, guidance_scale=3.5,
+        vae_chunk=int(os.environ.get("MIMO_VAE_CHUNK", "8")))
 
     ki = jax.random.split(jax.random.PRNGKey(1), 5)
     ds = cfg.vae.downscale
