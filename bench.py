@@ -172,9 +172,12 @@ def main():
         "clip": CV.clip_vision_init(ks[4], cfg.clip_vision, dtype=dtype),
     }
 
-    # vae_chunk: 8 and 24 measured within 5 ms of each other on decode
-    # (0.694 vs 0.690, round-4 sweep; chunk 6/12 regress badly) — env
-    # override for same-session A/B without editing the file
+    # vae_chunk: 8. The round-4 sweep measured chunk 24 marginally
+    # better standalone (decode 0.690 vs 0.694, encode 0.325 vs 0.327)
+    # but IN-PROGRAM chunk 24 OOMs the 16 GB v5e (round 5: decode of
+    # the whole clip in one call RESOURCE_EXHAUSTED with the 1.6 GB
+    # UNet weights + banks resident — the sweep ran the VAE alone).
+    # chunk 6/12 regress badly. Env override for same-session A/B.
     st = pose2vid.Pose2VideoStatic(
         cfg=cfg, num_frames=F, height=H, width=W,
         num_inference_steps=steps, guidance_scale=3.5,
