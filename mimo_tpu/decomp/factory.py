@@ -58,10 +58,13 @@ def _maybe(path: str, dtype=None):
             # structural metadata (e.g. the depth head's resize 'kind'
             # strings) stays host-side
             return arr.item() if arr.ndim == 0 else arr
-        out = jnp.asarray(arr)
-        if dtype is not None and jnp.issubdtype(out.dtype, jnp.floating):
-            out = out.astype(dtype)
-        return out
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            # cast on the HOST: uploading f32 and casting on device ships
+            # 2x the bytes through the tunnel — the first program call
+            # blocks on the weight transfer (SAM's 2.4 GB f32 bundle
+            # measured minutes of first-call stall in the occ ledger)
+            arr = arr.astype(dtype)
+        return jnp.asarray(arr)
 
     return jax.tree.map(leaf, load_npz(path))
 
@@ -114,11 +117,28 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
     if sam2_params is not None:
         s2cfg = SAM2.tiny_sam2_config() if tiny else SAM2.SAM2Config()
 
+        # One predictor reused across calls: the occ stage tracks EVERY
+        # occluder seed through the same clip (occlusion.py
+        # extract_occlusion_video) — re-running init_state's 48-frame
+        # Hiera-large encode per seed would repeat the single most
+        # expensive model call in the stage. The video encode is cached
+        # keyed on the frames object; only prompting + propagation run
+        # per seed (reference keeps one inference_state the same way,
+        # demo_occ.py:405-504).
+        s2pred = SAM2.SAM2VideoPredictor(sam2_params, s2cfg)
+        s2key: list = [None]
+
         def track(frames, seed_mask, seed_frame):
+            key = (id(frames), len(frames))
+            if s2key[0] != key:
+                s2pred.init_state(list(frames))
+                s2key[0] = key
             pts = sample_mask_points(seed_mask, n=5)
-            return SAM2.track_object(sam2_params, s2cfg, frames, pts,
-                                     np.ones(len(pts), np.int32),
-                                     prompt_frame=seed_frame)
+            s2pred.add_new_points(seed_frame, pts,
+                                  np.ones(len(pts), np.int32))
+            fwd = s2pred.propagate_in_video(reverse=False)
+            bwd = s2pred.propagate_in_video(reverse=True)
+            return fwd | bwd
 
         models.track_video = track
 

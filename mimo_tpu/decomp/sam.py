@@ -291,6 +291,21 @@ class SamPredictor:
         self._decode = jax.jit(
             lambda p, emb, pts, lbl: decode_masks(
                 p, cfg, emb, encode_points(p, pts, lbl)))
+        # Device-side auto-mask postprocess (see automatic_masks): binarize
+        # the candidate logits inside the valid (unpadded) image region and
+        # compute the full pairwise intersection matrix as ONE bf16 matmul
+        # with f32 accumulation (0/1 products are exact; row sums <= (4g)^2
+        # << 2^24 stay exact in f32). The MXU does in ~10 ms what the host
+        # numpy loop did in minutes.
+        def _nms_stats(m, valid):
+            b = ((m > 0) & valid).reshape(m.shape[0], -1)
+            b = b.astype(jnp.bfloat16)
+            inter = jax.lax.dot_general(
+                b, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.diagonal(inter), inter
+        self._nms_stats = jax.jit(_nms_stats)
+        self._gather_bin = jax.jit(lambda m, idx: m[idx] > 0)
 
     def set_image(self, image: np.ndarray) -> None:
         """image: (H, W, 3) uint8 RGB; resized (long side) to encoder size."""
@@ -352,8 +367,38 @@ def automatic_masks(predictor: SamPredictor, image: np.ndarray,
     automatic_mask_generator.py:35-282; used with 32x32 points at
     demo_occ.py:90-99): a regular point grid prompts the decoder — here the
     entire grid is ONE batched decoder call — then IoU filtering + mask NMS.
+
+    TPU-native postprocess (round 5): the reference's greedy mask NMS
+    compares every candidate against every kept mask with full-resolution
+    numpy AND/OR — O(N * kept * H * W) host work that measured ~100+ s per
+    keyframe at N≈3000 (the occ stage's 291 s wall held only 0.93 s of
+    device compute). Here the pairwise intersection matrix is ONE device
+    matmul over the binarized low-res (4g × 4g) logits, the greedy NMS
+    walks that tiny matrix on the host, and only the kept masks (typically
+    tens, not thousands) are transferred and resized to full resolution.
+    NMS IoU is thus measured on the decoder grid rather than after
+    full-res resize — the bilinear >0 upsample preserves overlap ratios to
+    ~1/4g, far below the 0.7 decision threshold's sensitivity. min_area
+    is applied post-NMS at full resolution (with min_area=0, the default
+    everywhere, only empty masks drop — identical behavior).
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = bool(_os.environ.get("MIMO_OCC_DEBUG"))
+    _t = [_time.time()]
+
+    def _phase(name):
+        if _dbg:
+            now = _time.time()
+            print(f"# automask {name}: {now - _t[0]:.1f}s",
+                  file=_sys.stderr, flush=True)
+            _t[0] = now
+
     predictor.set_image(image)
+    if _dbg:
+        float(jnp.sum(predictor._embed.astype(jnp.float32)))
+    _phase("set_image+encode")
     h, w = image.shape[:2]
     nh, nw = predictor._scaled
     S = predictor.cfg.encoder.img_size[0]
@@ -365,29 +410,61 @@ def automatic_masks(predictor: SamPredictor, image: np.ndarray,
     lbl = jnp.ones((pts.shape[0], 1), jnp.int32)
     masks, iou = predictor._decode(predictor.params, predictor._embed,
                                    pts, lbl)
-    masks = np.asarray(masks.astype(jnp.float32))           # (P, M, 4g, 4g)
-    iou = np.asarray(iou)
+    if _dbg:
+        float(jnp.sum(iou.astype(jnp.float32)))
+    _phase("decode")
 
     # flatten multimask outputs (skip the "whole" token 0, as the reference's
-    # multimask_output=True path uses tokens 1..3)
-    cand_masks = masks[:, 1:].reshape(-1, *masks.shape[2:])
-    cand_iou = iou[:, 1:].reshape(-1)
-    keep = cand_iou > pred_iou_thresh
-    cand_masks, cand_iou = cand_masks[keep], cand_iou[keep]
+    # multimask_output=True path uses tokens 1..3) — on device
+    g4 = masks.shape[-1]
+    cand = masks[:, 1:].reshape(-1, g4, g4)
+    cand_iou = np.asarray(iou)[:, 1:].reshape(-1)
 
+    # valid (unpadded) region of the decoder grid for this aspect ratio
+    vh, vw = int(round(g4 * nh / S)), int(round(g4 * nw / S))
+    valid = np.zeros((g4, g4), bool)
+    valid[:vh, :vw] = True
+    areas_lr, inter = predictor._nms_stats(cand, jnp.asarray(valid))
+    areas_lr = np.asarray(areas_lr)
+    inter = np.asarray(inter)
+    _phase("nms_stats+transfer")
+
+    ok = (cand_iou > pred_iou_thresh) & (areas_lr > 0)
+    order = np.argsort(-cand_iou, kind="stable")
+    kept_idx: List[int] = []
+    for i in order:
+        if not ok[i]:
+            continue
+        dup = False
+        for j in kept_idx:
+            u = areas_lr[i] + areas_lr[j] - inter[i, j]
+            if u > 0 and inter[i, j] / u > nms_iou:
+                dup = True
+                break
+        if not dup:
+            kept_idx.append(int(i))
+    _phase(f"greedy nms (kept {len(kept_idx)})")
+
+    if not kept_idx:
+        return []
+    # gather only the kept masks, padded to a small static batch so every
+    # keyframe reuses one compiled gather
+    K = 64
     import cv2
     results = []
-    for m, s in zip(cand_masks, cand_iou):
-        mg = m.shape[-1]
-        mm = m[: int(round(mg * nh / S)), : int(round(mg * nw / S))]
-        mm = cv2.resize(mm, (w, h)) > 0
-        area = int(mm.sum())
-        if area <= min_area:
-            continue
-        results.append({"segmentation": mm, "area": area,
-                        "predicted_iou": float(s)})
-
-    return mask_nms(results, nms_iou)
+    for base in range(0, len(kept_idx), K):
+        chunk = kept_idx[base:base + K]
+        idx = np.asarray(chunk + [chunk[-1]] * (K - len(chunk)), np.int32)
+        bin_masks = np.asarray(predictor._gather_bin(cand, jnp.asarray(idx)))
+        for mm_lr, i in zip(bin_masks[:len(chunk)], chunk):
+            mm = cv2.resize(mm_lr[:vh, :vw].astype(np.float32), (w, h)) > 0.5
+            area = int(mm.sum())
+            if area <= min_area:
+                continue
+            results.append({"segmentation": mm, "area": area,
+                            "predicted_iou": float(cand_iou[i])})
+    _phase(f"gather+resize ({len(results)} results)")
+    return results
 
 
 def mask_nms(results: List[Dict[str, Any]],

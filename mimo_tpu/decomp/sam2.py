@@ -43,6 +43,7 @@ TPU-native restructuring (semantics-preserving):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -558,6 +559,102 @@ IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _prompt_forward(cfg: SAM2Config, multimask: bool, p: Params,
+                    feat16_t, s0_t, s1_t, pts, lbl):
+    """Prompt-frame forward (heads + conditioning memory) as one jitted
+    program — the eager path paid per-op dispatch through the tunnel for
+    every seed (sam2_base.py:263-360 semantics)."""
+    feat = feat16_t + p["no_mem_embed"].astype(feat16_t.dtype)
+    sparse = encode_points(p, cfg, pts, lbl)
+    low_res, high_res, obj_ptr, _ = forward_sam_heads(
+        p, cfg, feat, s0_t, s1_t, sparse, multimask_output=multimask)
+    # conditioning memory: binarize_mask_from_pts_for_mem_enc=true
+    # (build_sam.py:62) -> raw 0/1 mask, NO sigmoid, then scale*x+bias
+    # (sam2_base.py:686-696)
+    mask_for_mem = (high_res > 0).astype(jnp.float32) \
+        * cfg.sigmoid_scale_mem + cfg.sigmoid_bias_mem
+    mem = encode_memory(p, cfg, feat16_t, mask_for_mem)
+    return low_res, mem, obj_ptr
+
+
+@partial(jax.jit, static_argnums=0)
+def _propagate_scan(cfg: SAM2Config, p: Params, feat16, s1, s0, pos16,
+                    cond_mem, cond_ptr, order):
+    """The tracking loop as ONE jitted lax.scan program.
+
+    Module-level + jit (params as arguments) so repeated propagations —
+    the occ stage tracks every occluder seed through the same clip —
+    reuse the traced/compiled program per order length instead of
+    retracing an eager scan whose closure constants (450 MB of SAM2
+    weights) re-stage on every call. Reference loop:
+    sam2_video_predictor.py:592-687 (one frame per Python iteration).
+    """
+    g = feat16.shape[1]
+    R = cfg.num_maskmem - 1              # recent memory slots
+    P = cfg.max_obj_ptrs - 1             # recent pointer slots
+    md = cfg.mem_dim
+    d = cfg.dim
+    mem_spatial_pos = jnp.asarray(sine_pos_embed(g, g, md), jnp.float32)
+    tpos = p["maskmem_tpos_enc"].astype(jnp.float32)
+
+    def step(carry, t):
+        bank, bank_valid, ptrs, ptr_valid, n_seen = carry
+        feat = feat16[t]
+
+        # memory slot ordering: ring index j holds the frame processed
+        # (n_seen - j) steps ago... we store newest at slot
+        # (n_seen-1) % R. Age of slot s = n_seen - 1 - s' where s'
+        # counts writes; recover ages via write counter.
+        write_idx = jnp.mod(n_seen, R)
+        ages = jnp.mod(write_idx - 1 - jnp.arange(R), R) + 1
+        # slots never written are invalid anyway
+        slot_tpos = tpos[jnp.clip(ages - 1, 0, cfg.num_maskmem - 1)]
+
+        mem_all = jnp.concatenate([cond_mem[None], bank], axis=0)
+        pos_all = jnp.concatenate([
+            (mem_spatial_pos + tpos[cfg.num_maskmem - 1])[None],
+            mem_spatial_pos[None] + slot_tpos[:, None, None, :],
+        ], axis=0).astype(mem_all.dtype)
+        valid_all = jnp.concatenate([jnp.ones((1,)), bank_valid])
+
+        # object pointers: cond + recent, each split into d//md tokens
+        all_ptrs = jnp.concatenate([cond_ptr[None], ptrs], axis=0)
+        split = d // md
+        ptr_tokens = all_ptrs.reshape(-1, split, md).reshape(-1, md)
+        ptr_tok_valid = jnp.repeat(
+            jnp.concatenate([jnp.ones((1,)), ptr_valid]), split)
+
+        cond_feat = memory_attention(
+            p, cfg, feat, pos16, mem_all, pos_all, valid_all,
+            ptr_tokens, ptr_tok_valid)
+
+        low_res, high_res, obj_ptr, obj_logit = forward_sam_heads(
+            p, cfg, cond_feat, s0[t], s1[t], None,
+            multimask_output=True)  # tracking: 0 points -> multimask
+
+        # encode new memory (sigmoid*20-10, sam2_base.py:689-696)
+        mask_for_mem = jax.nn.sigmoid(high_res) \
+            * cfg.sigmoid_scale_mem + cfg.sigmoid_bias_mem
+        new_mem = encode_memory(p, cfg, feat, mask_for_mem)
+
+        bank = jax.lax.dynamic_update_index_in_dim(
+            bank, new_mem, write_idx, 0)
+        bank_valid = bank_valid.at[write_idx].set(1.0)
+        pwrite = jnp.mod(n_seen, P)
+        ptrs = jax.lax.dynamic_update_index_in_dim(
+            ptrs, obj_ptr, pwrite, 0)
+        ptr_valid = ptr_valid.at[pwrite].set(1.0)
+        return (bank, bank_valid, ptrs, ptr_valid, n_seen + 1), low_res
+
+    bank0 = jnp.zeros((R, g, g, md), feat16.dtype)
+    ptrs0 = jnp.zeros((P, d), jnp.float32)
+    carry0 = (bank0, jnp.zeros((R,)), ptrs0, jnp.zeros((P,)),
+              jnp.asarray(0, jnp.int32))
+    _, logits_seq = jax.lax.scan(step, carry0, order)
+    return logits_seq
+
+
 class SAM2VideoPredictor:
     """init_state / add_new_points / propagate_in_video
     (reference sam2_video_predictor.py:40,156,592). Propagation covers
@@ -625,29 +722,25 @@ class SAM2VideoPredictor:
         pts = np.asarray(points, np.float32) / [w, h] * S
         labels = np.asarray(labels, np.int32)
         feat16, s1, s0, pos16 = self._feats
-        feat = feat16[frame_idx] + self.p["no_mem_embed"].astype(
-            feat16.dtype)  # directly_add_no_mem_embed (sam2_base.py:639-643)
-        sparse = encode_points(self.p, cfg, jnp.asarray(pts)[None],
-                               jnp.asarray(labels)[None])
-        # multimask only for 0..1 points (multimask_min/max_pt_num)
-        multimask = len(labels) <= 1
-        low_res, high_res, obj_ptr, _ = forward_sam_heads(
-            self.p, cfg, feat, s0[frame_idx], s1[frame_idx], sparse,
-            multimask_output=multimask)
-        # conditioning memory: binarize_mask_from_pts_for_mem_enc=true
-        # (build_sam.py:62) -> raw 0/1 mask, NO sigmoid, then scale*x+bias
-        # (sam2_base.py:686-696)
-        mask_for_mem = (high_res > 0).astype(jnp.float32) \
-            * cfg.sigmoid_scale_mem + cfg.sigmoid_bias_mem
-        mem = encode_memory(self.p, cfg, feat16[frame_idx], mask_for_mem)
+        # multimask only for 0..1 points (multimask_min/max_pt_num);
+        # directly_add_no_mem_embed (sam2_base.py:639-643) inside the jit
+        low_res, mem, obj_ptr = _prompt_forward(
+            cfg, len(labels) <= 1, self.p, feat16[frame_idx],
+            s0[frame_idx], s1[frame_idx], jnp.asarray(pts)[None],
+            jnp.asarray(labels)[None])
         self._cond = {"frame": frame_idx, "mem": mem, "ptr": obj_ptr,
                       "low_res": low_res}
         return self._mask_to_orig(low_res)
 
-    def _mask_to_orig(self, logits: jnp.ndarray) -> np.ndarray:
+    def _mask_to_orig(self, logits) -> np.ndarray:
         import cv2
         h, w = self._orig
-        m = np.asarray(logits.astype(jnp.float32))
+        if isinstance(logits, jax.Array):
+            m = np.asarray(logits.astype(jnp.float32))
+        else:
+            # already host numpy — do NOT round-trip it through the device
+            # (48 upload+cast+download dispatches per propagate, measured)
+            m = np.asarray(logits, np.float32)
         return cv2.resize(m, (w, h)) > 0
 
     def propagate_in_video(self, reverse: bool = False) -> np.ndarray:
@@ -655,10 +748,8 @@ class SAM2VideoPredictor:
         on the untracked side of the conditioning frame are False (the
         reference's forward pass also leaves them untouched)."""
         assert self._cond is not None, "add_new_points first"
-        cfg = self.cfg
         feat16, s1, s0, pos16 = self._feats
         T = feat16.shape[0]
-        g = feat16.shape[1]
         start = self._cond["frame"]
 
         if reverse:
@@ -669,80 +760,25 @@ class SAM2VideoPredictor:
         out_logits = np.full((T, lowres_g, lowres_g), NO_OBJ_SCORE,
                              np.float32)
         out_logits[start] = np.asarray(self._cond["low_res"])
-        if len(order) == 0:
-            return np.stack([self._mask_to_orig(jnp.asarray(m))
-                             for m in out_logits])
-
-        cond_mem = self._cond["mem"]
-        cond_ptr = self._cond["ptr"]
-        R = cfg.num_maskmem - 1              # recent memory slots
-        P = cfg.max_obj_ptrs - 1             # recent pointer slots
-        md = cfg.mem_dim
-        d = cfg.dim
-        mem_spatial_pos = jnp.asarray(
-            sine_pos_embed(g, g, md), jnp.float32)
-
-        tpos = self.p["maskmem_tpos_enc"].astype(jnp.float32)
-
-        def step(carry, t):
-            bank, bank_valid, ptrs, ptr_valid, n_seen = carry
-            feat = feat16[t]
-
-            # memory slot ordering: ring index j holds the frame processed
-            # (n_seen - j) steps ago... we store newest at slot
-            # (n_seen-1) % R. Age of slot s = n_seen - 1 - s' where s'
-            # counts writes; recover ages via write counter.
-            write_idx = jnp.mod(n_seen, R)
-            ages = jnp.mod(write_idx - 1 - jnp.arange(R), R) + 1
-            # slots never written are invalid anyway
-            slot_tpos = tpos[jnp.clip(ages - 1, 0, cfg.num_maskmem - 1)]
-
-            mem_all = jnp.concatenate([cond_mem[None], bank], axis=0)
-            pos_all = jnp.concatenate([
-                (mem_spatial_pos + tpos[cfg.num_maskmem - 1])[None],
-                mem_spatial_pos[None] + slot_tpos[:, None, None, :],
-            ], axis=0).astype(mem_all.dtype)
-            valid_all = jnp.concatenate([jnp.ones((1,)), bank_valid])
-
-            # object pointers: cond + recent, each split into d//md tokens
-            all_ptrs = jnp.concatenate([cond_ptr[None], ptrs], axis=0)
-            split = d // md
-            ptr_tokens = all_ptrs.reshape(-1, split, md).reshape(-1, md)
-            ptr_tok_valid = jnp.repeat(
-                jnp.concatenate([jnp.ones((1,)), ptr_valid]), split)
-
-            cond_feat = memory_attention(
-                self.p, cfg, feat, pos16, mem_all, pos_all, valid_all,
-                ptr_tokens, ptr_tok_valid)
-
-            low_res, high_res, obj_ptr, obj_logit = forward_sam_heads(
-                self.p, cfg, cond_feat, s0[t], s1[t], None,
-                multimask_output=True)  # tracking: 0 points -> multimask
-
-            # encode new memory (sigmoid*20-10, sam2_base.py:689-696)
-            mask_for_mem = jax.nn.sigmoid(high_res) \
-                * cfg.sigmoid_scale_mem + cfg.sigmoid_bias_mem
-            new_mem = encode_memory(self.p, cfg, feat, mask_for_mem)
-
-            bank = jax.lax.dynamic_update_index_in_dim(
-                bank, new_mem, write_idx, 0)
-            bank_valid = bank_valid.at[write_idx].set(1.0)
-            pwrite = jnp.mod(n_seen, P)
-            ptrs = jax.lax.dynamic_update_index_in_dim(
-                ptrs, obj_ptr, pwrite, 0)
-            ptr_valid = ptr_valid.at[pwrite].set(1.0)
-            return (bank, bank_valid, ptrs, ptr_valid, n_seen + 1), low_res
-
-        bank0 = jnp.zeros((R, g, g, md), feat16.dtype)
-        ptrs0 = jnp.zeros((P, d), jnp.float32)
-        carry0 = (bank0, jnp.zeros((R,)), ptrs0, jnp.zeros((P,)),
-                  jnp.asarray(0, jnp.int32))
-        _, logits_seq = jax.lax.scan(step, carry0, jnp.asarray(order))
-        logits_np = np.asarray(logits_seq.astype(jnp.float32))
-        for j, t in enumerate(order):
-            out_logits[t] = logits_np[j]
-        return np.stack([self._mask_to_orig(jnp.asarray(m))
-                         for m in out_logits])
+        if len(order):
+            # pad the traversal to a multiple of 8 (repeating the last
+            # frame): the scan program compiles per order LENGTH, and the
+            # occ stage propagates from arbitrary keyframes — without
+            # bucketing, every new seed frame costs two fresh multi-minute
+            # remote compiles. Padded steps re-process the final frame
+            # with already-updated memory; their outputs are sliced off
+            # and the carry is discarded, so real outputs are unaffected.
+            L = len(order)
+            Lp = -(-L // 8) * 8
+            padded = np.concatenate(
+                [order, np.full(Lp - L, order[-1], order.dtype)])
+            logits_seq = _propagate_scan(
+                self.cfg, self.p, feat16, s1, s0, pos16,
+                self._cond["mem"], self._cond["ptr"], jnp.asarray(padded))
+            logits_np = np.asarray(logits_seq[:L].astype(jnp.float32))
+            for j, t in enumerate(order):
+                out_logits[t] = logits_np[j]
+        return np.stack([self._mask_to_orig(m) for m in out_logits])
 
 
 def track_object(params: Params, cfg: SAM2Config, frames: List[np.ndarray],
