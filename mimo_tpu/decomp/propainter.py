@@ -1033,6 +1033,12 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
     ref_num = cfg.subvideo_length // cfg.ref_stride \
         if T > cfg.subvideo_length else -1
 
+    # dispatch EVERY window before downloading any result: the device
+    # queue runs the window programs back-to-back while the host blends
+    # window i-1 and the ~60 MB result transfers overlap the next
+    # window's compute (the serial dispatch->execute->download loop paid
+    # both, per window, through the tunnel)
+    pending = []
     for f in range(0, T, stride):
         neighbor_ids = list(range(max(0, f - stride),
                                   min(T, f + stride + 1)))
@@ -1047,6 +1053,8 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
             params["gen"], cfg, upd_frames[sidx], sel_flows_f,
             sel_flows_b, masks[sidx], upd_masks[sidx], lt)
         _phase(f"inpaint_forward f={f}", pred)
+        pending.append((pred, neighbor_ids))
+    for pred, neighbor_ids in pending:
         pred = np.asarray((pred + 1) / 2, np.float32)
         for i, idx in enumerate(neighbor_ids):
             m = masks_np[idx]

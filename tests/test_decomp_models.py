@@ -142,6 +142,56 @@ def test_mask_nms_dedup():
     assert len(res) == 2
 
 
+def test_automask_device_nms_matches_host_oracle():
+    """The device-matmul NMS in automatic_masks keeps exactly the set the
+    reference-faithful host mask_nms keeps, given the same candidates.
+
+    Synthetic low-res candidate logits with known overlap structure are
+    pushed through the predictor's _nms_stats + the greedy walk (a
+    re-statement of the automatic_masks internals), and the kept indices
+    are compared against mask_nms run on the binarized full grids."""
+    cfg = SAM.tiny_sam_config()
+    p = SAM.sam_init(jax.random.PRNGKey(0), cfg)
+    pred = SAM.SamPredictor(p, cfg)
+
+    g4 = 16
+    rng = np.random.default_rng(3)
+    cand = np.full((6, g4, g4), -1.0, np.float32)
+    cand[0, :8, :8] = 1.0          # base block
+    cand[1, :8, :8] = 1.0          # exact duplicate -> dropped
+    cand[2, :8, :10] = 1.0         # IoU 0.8 with 0 -> dropped at 0.7
+    cand[3, 8:, 8:] = 1.0          # disjoint -> kept
+    cand[4, :4, :4] = 1.0          # IoU 0.25 with 0 -> kept
+    cand[5] = -1.0                 # empty -> dropped (area 0)
+    iou_scores = np.array([0.95, 0.93, 0.92, 0.91, 0.90, 0.89])
+
+    valid = np.ones((g4, g4), bool)
+    areas, inter = pred._nms_stats(jnp.asarray(cand), jnp.asarray(valid))
+    areas, inter = np.asarray(areas), np.asarray(inter)
+
+    ok = areas > 0
+    kept = []
+    for i in np.argsort(-iou_scores, kind="stable"):
+        if not ok[i]:
+            continue
+        dup = any(
+            inter[i, j] / (areas[i] + areas[j] - inter[i, j]) > 0.7
+            for j in kept
+            if areas[i] + areas[j] - inter[i, j] > 0)
+        if not dup:
+            kept.append(int(i))
+
+    oracle = SAM.mask_nms(
+        [{"segmentation": cand[i] > 0, "area": int((cand[i] > 0).sum()),
+          "predicted_iou": float(iou_scores[i]), "idx": i}
+         for i in range(6) if (cand[i] > 0).any()], iou_thresh=0.7)
+    assert kept == [r["idx"] for r in oracle] == [0, 3, 4]
+
+    # the intersection matmul is exact integer counting
+    bin_ = (cand > 0).reshape(6, -1).astype(np.float32)
+    np.testing.assert_array_equal(inter, bin_ @ bin_.T)
+
+
 def test_vitpose_flip_test_matches_oracle():
     """Flip-averaged heatmaps equal a numpy re-statement of the mmpose
     TopDown test path (flip image -> net -> flip_back channel swap +
