@@ -686,6 +686,14 @@ class SAM2VideoPredictor:
         batch = np.stack([
             (cv2.resize(f, (S, S)).astype(np.float32) / 255.0 - IMG_MEAN)
             / IMG_STD for f in frames])
+        # upload pixels at the PARAM dtype: with bf16 weights (production)
+        # this halves the ~600 MB/clip of frame bytes the first encode
+        # call blocks on — the Hiera trunk computes in bf16 either way;
+        # f32 test params keep f32 pixels (torch-parity unchanged)
+        pdt = next(x.dtype for x in jax.tree.leaves(self.p)
+                   if hasattr(x, "dtype")
+                   and jnp.issubdtype(x.dtype, jnp.floating))
+        batch = batch.astype(pdt)
         # params as an explicit jit argument (closure constants embed into
         # the HLO — slow remote compiles, no cache reuse across weights)
         enc = jax.jit(lambda p, px: encode_frames(p, self.cfg, px))
