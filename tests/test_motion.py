@@ -78,3 +78,43 @@ def test_fuse_pose_with_hands_52_joints():
     # left-hand finger joints set, right-hand ones zero
     assert np.abs(np.asarray(pose[22:37])).sum() > 0
     np.testing.assert_allclose(np.asarray(pose[37:52]), 0.0)
+
+
+def test_fuse_pose_batch_matches_per_frame():
+    """The whole-clip fuse_pose_batch equals per-frame fuse_pose across
+    every hand-presence combination (none / left / right / both)."""
+    key = jax.random.PRNGKey(0)
+    model = SM.random_test_model(key, n_joints=52)
+    hmr_cfg = HM.tiny_hmr_config(num_joints=22)
+    est = MO.MotionEstimator(
+        vitpose_params=None, vitpose_cfg=VP.tiny_vitpose_config(),
+        hmr_params=HM.hmr_init(jax.random.PRNGKey(2), hmr_cfg),
+        hmr_cfg=hmr_cfg, smpl_model=model)
+    rng = np.random.default_rng(7)
+
+    def rmat(n):
+        return np.asarray(aa_to_rotmat(jnp.asarray(
+            rng.standard_normal((n, 3)).astype(np.float32) * 0.2)))
+
+    T = 4
+    body = np.stack([rmat(22) for _ in range(T)])
+    hands = [
+        {"left": None, "right": None},
+        {"left": rmat(16), "right": None},
+        {"left": None, "right": rmat(16)},
+        {"left": rmat(16), "right": rmat(16)},
+    ]
+    ref = np.stack([np.asarray(est.fuse_pose(jnp.asarray(body[t]),
+                                             hands[t])) for t in range(T)])
+
+    eye = np.broadcast_to(np.eye(3, dtype=body.dtype), (16, 3, 3))
+    lrot = np.stack([h["left"] if h["left"] is not None else eye
+                     for h in hands])
+    rrot = np.stack([h["right"] if h["right"] is not None else eye
+                     for h in hands])
+    lval = np.asarray([h["left"] is not None for h in hands], np.float32)
+    rval = np.asarray([h["right"] is not None for h in hands], np.float32)
+    out = np.asarray(est._fuse_batch(
+        jnp.asarray(body), jnp.asarray(lrot), jnp.asarray(lval),
+        jnp.asarray(rrot), jnp.asarray(rval)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
