@@ -179,7 +179,10 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
                 half = cs[2] / 2
                 boxes_xywh.append([cs[0] - half, cs[1] - half, cs[2], cs[2]])
             crops = np.stack(crops)
-            hms = []
+            # dispatch every chunk before downloading any heatmaps: the
+            # download inside the loop serialized chunk i's transfer
+            # against chunk i+1's dispatch
+            hms, pads = [], []
             for i in range(0, len(crops), batch):
                 chunk = crops[i:i + batch]
                 pad = batch - len(chunk)
@@ -187,8 +190,10 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
                     chunk = np.concatenate(
                         [chunk, np.broadcast_to(chunk[-1:],
                                                 (pad,) + chunk.shape[1:])])
-                hm = hm_fn(vp_params, jnp.asarray(chunk, dtype))
-                hms.append(np.asarray(hm, np.float32)[:batch - pad or None])
+                hms.append(hm_fn(vp_params, jnp.asarray(chunk, dtype)))
+                pads.append(pad)
+            hms = [np.asarray(hm, np.float32)[:batch - pad or None]
+                   for hm, pad in zip(hms, pads)]
             return VP.decode_keypoints(
                 np.concatenate(hms), np.asarray(boxes_xywh, np.float32))
 
