@@ -129,7 +129,11 @@ def build_decomp_models(weights_dir: str, dtype=jnp.bfloat16,
         s2key: list = [None]
 
         def track(frames, seed_mask, seed_frame):
-            key = (id(frames), len(frames))
+            # id() alone can collide after garbage collection; a cheap
+            # content fingerprint of the first/last frames disambiguates
+            f0, fl = np.asarray(frames[0]), np.asarray(frames[-1])
+            key = (id(frames), len(frames), f0.shape,
+                   int(f0[::16, ::16].sum()), int(fl[::16, ::16].sum()))
             if s2key[0] != key:
                 s2pred.init_state(list(frames))
                 s2key[0] = key
