@@ -408,8 +408,32 @@ def automatic_masks(predictor: SamPredictor, image: np.ndarray,
     pts01 = grid * [nw / S, nh / S]
     pts = jnp.asarray(pts01, jnp.float32)[:, None, :]      # (P, 1, 2)
     lbl = jnp.ones((pts.shape[0], 1), jnp.int32)
-    masks, iou = predictor._decode(predictor.params, predictor._embed,
-                                   pts, lbl)
+    # decode in fixed-size prompt chunks: the whole 1024-prompt batch
+    # broadcasts the image tokens per prompt — (1024, 4096, 256) f32
+    # intermediates peak near the 16 GB HBM limit and OOM
+    # fragmentation-dependently on the second clip of a process
+    # (reference chunks at 64, automatic_mask_generator.py:64).
+    # 256 keeps the MXU batched and the peak at ~1/4.
+    CH = min(256, pts.shape[0])
+    mparts, iparts = [], []
+    for i in range(0, pts.shape[0], CH):
+        pc, lc = pts[i:i + CH], lbl[i:i + CH]
+        if pc.shape[0] < CH:
+            pad = CH - pc.shape[0]
+            pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1:],
+                                                       (pad,) + pc.shape[1:])])
+            lc = jnp.concatenate([lc, jnp.broadcast_to(lc[-1:],
+                                                       (pad,) + lc.shape[1:])])
+            m, s = predictor._decode(predictor.params, predictor._embed,
+                                     pc, lc)
+            m, s = m[:-pad], s[:-pad]
+        else:
+            m, s = predictor._decode(predictor.params, predictor._embed,
+                                     pc, lc)
+        mparts.append(m)
+        iparts.append(s)
+    masks = jnp.concatenate(mparts, axis=0)
+    iou = jnp.concatenate(iparts, axis=0)
     if _dbg:
         float(jnp.sum(iou.astype(jnp.float32)))
     _phase("decode")

@@ -197,10 +197,12 @@ def main():
                       flush=True)
             except Exception as e:
                 dt = time.time() - t
+                import traceback
                 ledger[name + "/steady"] = (
                     dt, f"FAILED {type(e).__name__}: {str(e)[:200]}")
                 print(f"[{time.time() - T0:7.1f}s] {name}/steady: FAILED "
                       f"after {dt:.1f}s — {type(e).__name__}", flush=True)
+                traceback.print_exc()
         return out
 
     # --- track: first-frame SAM + SAM2 propagation ----------------------
