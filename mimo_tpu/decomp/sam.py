@@ -261,9 +261,15 @@ def decode_masks(p: Params, cfg: SAMConfig, image_embed: jnp.ndarray,
 
 def _xattn(p_attn: Params, q: jnp.ndarray, kv_k: jnp.ndarray,
            kv_v: jnp.ndarray, heads: int) -> jnp.ndarray:
-    qq = L.linear(p_attn["to_q"], q)
-    kk = L.linear(p_attn["to_k"], kv_k)
-    vv = L.linear(p_attn["to_v"], kv_v)
+    # compute in the PARAM dtype: the f32 fourier prompt encodings
+    # otherwise promote q/k to f32 while v stays bf16, and the TPU
+    # attention paths (flash kernel, jax.nn.dot_product_attention)
+    # reject mixed-dtype q/k/v (bf16 params => whole decoder on bf16,
+    # which is also what the reference's autocast does)
+    dt = p_attn["to_q"]["kernel"].dtype
+    qq = L.linear(p_attn["to_q"], q.astype(dt))
+    kk = L.linear(p_attn["to_k"], kv_k.astype(dt))
+    vv = L.linear(p_attn["to_v"], kv_v.astype(dt))
     o = L.sdpa(qq, kk, vv, heads)
     return L.linear(p_attn["to_out"], o)
 

@@ -298,7 +298,11 @@ def memory_attention(p: Params, cfg: SAM2Config, feat: jnp.ndarray,
     md = cfg.mem_dim
 
     x = (feat + 0.1 * feat_pos).reshape(1, S, d)       # pos_enc_at_input
-    memory = jnp.concatenate([mem.reshape(M * S, md), obj_ptr_tokens],
+    # pointer tokens ride the f32 carry; cast to the memory dtype so the
+    # concat does not promote the whole key/value set to f32 (mixed-dtype
+    # q/k/v is rejected by the TPU attention paths)
+    memory = jnp.concatenate([mem.reshape(M * S, md),
+                              obj_ptr_tokens.astype(mem.dtype)],
                              axis=0)[None]
     memory_pos = jnp.concatenate(
         [mem_pos.reshape(M * S, md),
@@ -643,7 +647,7 @@ def _propagate_scan(cfg: SAM2Config, p: Params, feat16, s1, s0, pos16,
         bank_valid = bank_valid.at[write_idx].set(1.0)
         pwrite = jnp.mod(n_seen, P)
         ptrs = jax.lax.dynamic_update_index_in_dim(
-            ptrs, obj_ptr, pwrite, 0)
+            ptrs, obj_ptr.astype(ptrs.dtype), pwrite, 0)
         ptr_valid = ptr_valid.at[pwrite].set(1.0)
         return (bank, bank_valid, ptrs, ptr_valid, n_seen + 1), low_res
 
