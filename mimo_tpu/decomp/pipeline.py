@@ -169,7 +169,15 @@ class VideoProcessor:
                 out = self.models.inpaint(
                     fr.astype(np.float32) / 255.0,
                     mr[..., None].astype(np.float32))
-                out = np.asarray(out)
+                # quantize to uint8 ON DEVICE: the f32 composite is
+                # ~200 MB for a 48f 720x480 clip; the u8 download is 4x
+                # smaller through the ~10 MB/s tunnel. np.asarray is also
+                # where a deferred RESOURCE_EXHAUSTED surfaces (async
+                # runtime), so it stays inside the backoff try.
+                import jax.numpy as jnp
+                out = np.asarray(
+                    (jnp.clip(jnp.asarray(out), 0.0, 1.0)
+                     * 255.0).astype(jnp.uint8))
                 break
             except Exception as e:
                 if ("RESOURCE_EXHAUSTED" not in str(e)
@@ -179,7 +187,7 @@ class VideoProcessor:
                 ratio *= 0.75  # reference backoff factor
         if out.shape[1:3] != (H, W):
             out = np.stack([cv2.resize(f, (W, H)) for f in out])
-        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+        return out
 
     # -- stage 5: occlusion -------------------------------------------------
 

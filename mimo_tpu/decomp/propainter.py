@@ -918,6 +918,29 @@ def _get_ref_index(mid, neighbor_ids, length, ref_stride, ref_num):
     return ref
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _blend_window(comp, seen, pred, frames01, masks, start):
+    """Blend one sliding window's prediction into the running composite,
+    entirely on device (infer.py:544-556 semantics: mask-composite the
+    prediction over the source frame, 0.5/0.5 cross-fade where a previous
+    window already wrote). The host loop this replaces downloaded every
+    window's ~60 MB f32 prediction through the ~10 MB/s tunnel (~60 s per
+    48f clip) and re-uploaded the blended result."""
+    lt = pred.shape[0]
+    pred01 = (pred.astype(jnp.float32) + 1.0) * 0.5
+    c = jax.lax.dynamic_slice_in_dim(comp, start, lt, 0)
+    s = jax.lax.dynamic_slice_in_dim(seen, start, lt, 0)
+    fr = jax.lax.dynamic_slice_in_dim(frames01, start, lt, 0)
+    m = jax.lax.dynamic_slice_in_dim(masks, start, lt, 0)
+    m = m.astype(jnp.float32)
+    img = pred01 * m + fr.astype(jnp.float32) * (1.0 - m)
+    new = jnp.where(s > 0, 0.5 * c + 0.5 * img, img)
+    comp = jax.lax.dynamic_update_slice_in_dim(comp, new, start, 0)
+    seen = jax.lax.dynamic_update_slice_in_dim(seen, jnp.ones_like(s),
+                                               start, 0)
+    return comp, seen
+
+
 def inpaint_video(params: Params, cfg: ProPainterConfig,
                   raft_params: Params, raft_cfg,
                   frames01: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
@@ -1026,19 +1049,19 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
     _phase("img_propagation", upd_frames, upd_masks)
 
     # ---- sliding neighbor/ref window + 0.5/0.5 blend (infer.py:522-560)
-    frames_np = np.asarray(frames01)
-    masks_np = np.asarray(masks)
-    comp: List[Optional[np.ndarray]] = [None] * T
     stride = cfg.neighbor_length // 2
     ref_num = cfg.subvideo_length // cfg.ref_stride \
         if T > cfg.subvideo_length else -1
 
-    # dispatch EVERY window before downloading any result: the device
-    # queue runs the window programs back-to-back while the host blends
-    # window i-1 and the ~60 MB result transfers overlap the next
-    # window's compute (the serial dispatch->execute->download loop paid
-    # both, per window, through the tunnel)
-    pending = []
+    # Everything stays on device: each window program is followed by a
+    # tiny jitted blend update into the (T, H, W, 3) f32 composite (one
+    # program per distinct edge-window length). Nothing downloads until
+    # the caller fetches the final composite — the previous host blend
+    # pulled ~60 MB f32 per window through the ~10 MB/s tunnel and then
+    # re-uploaded the stacked result.
+    comp = jnp.zeros((T, H, W, 3), jnp.float32)
+    seen = jnp.zeros((T, 1, 1, 1), jnp.float32)
+    frames01_dev = jnp.asarray(frames01)
     for f in range(0, T, stride):
         neighbor_ids = list(range(max(0, f - stride),
                                   min(T, f + stride + 1)))
@@ -1053,15 +1076,9 @@ def inpaint_video(params: Params, cfg: ProPainterConfig,
             params["gen"], cfg, upd_frames[sidx], sel_flows_f,
             sel_flows_b, masks[sidx], upd_masks[sidx], lt)
         _phase(f"inpaint_forward f={f}", pred)
-        pending.append((pred, neighbor_ids))
-    for pred, neighbor_ids in pending:
-        pred = np.asarray((pred + 1) / 2, np.float32)
-        for i, idx in enumerate(neighbor_ids):
-            m = masks_np[idx]
-            img = pred[i] * m + frames_np[idx] * (1 - m)
-            comp[idx] = img if comp[idx] is None \
-                else comp[idx] * 0.5 + img * 0.5
-    return jnp.clip(jnp.asarray(np.stack(comp)), 0.0, 1.0)
+        comp, seen = _blend_window(comp, seen, pred, frames01_dev,
+                                   masks, neighbor_ids[0])
+    return jnp.clip(comp, 0.0, 1.0)
 
 
 def propainter_init(key, cfg: ProPainterConfig) -> Params:

@@ -243,7 +243,13 @@ def _rope_attention(p: Params, q_in: jnp.ndarray, k_in: jnp.ndarray,
 
     q_in: (B, Sq, d); k_in/v_in: (B, Sk, kv_in). bias: (B, 1, Sq, Sk) or
     broadcastable additive attention bias (used to mask invalid memory
-    slots — exact, since exp(-inf)=0)."""
+    slots — exact, since exp(-inf)=0).
+
+    Inputs are normalized to the param dtype first: f32 positional
+    encodings or carry state otherwise promote one of q/k/v and the TPU
+    attention paths reject mixed-dtype operands."""
+    dt = p["q"]["kernel"].dtype
+    q_in, k_in, v_in = (a.astype(dt) for a in (q_in, k_in, v_in))
     q = L.linear(p["q"], q_in)
     k = L.linear(p["k"], k_in)
     v = L.linear(p["v"], v_in)
@@ -301,12 +307,12 @@ def memory_attention(p: Params, cfg: SAM2Config, feat: jnp.ndarray,
     # pointer tokens ride the f32 carry; cast to the memory dtype so the
     # concat does not promote the whole key/value set to f32 (mixed-dtype
     # q/k/v is rejected by the TPU attention paths)
-    memory = jnp.concatenate([mem.reshape(M * S, md),
-                              obj_ptr_tokens.astype(mem.dtype)],
+    ptr = obj_ptr_tokens.astype(mem.dtype)
+    memory = jnp.concatenate([mem.reshape(M * S, md), ptr],
                              axis=0)[None]
     memory_pos = jnp.concatenate(
-        [mem_pos.reshape(M * S, md),
-         jnp.zeros_like(obj_ptr_tokens)], axis=0)[None]
+        [mem_pos.reshape(M * S, md).astype(mem.dtype),
+         jnp.zeros_like(ptr)], axis=0)[None]
     n_ptr = obj_ptr_tokens.shape[0]
 
     key_valid = jnp.concatenate(
@@ -643,7 +649,7 @@ def _propagate_scan(cfg: SAM2Config, p: Params, feat16, s1, s0, pos16,
         new_mem = encode_memory(p, cfg, feat, mask_for_mem)
 
         bank = jax.lax.dynamic_update_index_in_dim(
-            bank, new_mem, write_idx, 0)
+            bank, new_mem.astype(bank.dtype), write_idx, 0)
         bank_valid = bank_valid.at[write_idx].set(1.0)
         pwrite = jnp.mod(n_seen, P)
         ptrs = jax.lax.dynamic_update_index_in_dim(

@@ -145,6 +145,41 @@ def test_inpaint_video_end_to_end_tiny():
                                atol=1e-5)
 
 
+def test_blend_window_matches_host_oracle():
+    """The device-side sliding-window blend (_blend_window) must equal the
+    reference host loop (infer.py:544-556): composite pred over source by
+    mask, 0.5/0.5 cross-fade on revisit."""
+    rng = np.random.default_rng(0)
+    T, H, W = 9, 6, 5
+    frames = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(T, H, W, 1)) > 0.5).astype(np.float32)
+    stride = 3
+    windows = [list(range(max(0, f - stride), min(T, f + stride + 1)))
+               for f in range(0, T, stride)]
+    preds = [rng.uniform(-1, 1, (len(w), H, W, 3)).astype(np.float32)
+             for w in windows]
+
+    # host oracle (the pre-round-5 implementation)
+    comp = [None] * T
+    for w, pred in zip(windows, preds):
+        p01 = (pred + 1) / 2
+        for i, idx in enumerate(w):
+            m = masks[idx]
+            img = p01[i] * m + frames[idx] * (1 - m)
+            comp[idx] = img if comp[idx] is None \
+                else comp[idx] * 0.5 + img * 0.5
+    oracle = np.stack(comp)
+
+    dev_comp = jnp.zeros((T, H, W, 3), jnp.float32)
+    seen = jnp.zeros((T, 1, 1, 1), jnp.float32)
+    fr = jnp.asarray(frames)
+    ms = jnp.asarray(masks)
+    for w, pred in zip(windows, preds):
+        dev_comp, seen = PP._blend_window(dev_comp, seen, jnp.asarray(pred),
+                                          fr, ms, w[0])
+    np.testing.assert_allclose(np.asarray(dev_comp), oracle, atol=1e-6)
+
+
 def test_config_fields_are_consumed():
     """neighbor_length / ref_stride / subvideo_length drive the sliding
     window (VERDICT: previously declared but never read)."""

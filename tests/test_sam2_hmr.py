@@ -23,6 +23,27 @@ def test_sam2_video_predictor_end_to_end():
     assert masks.dtype == bool
 
 
+def test_sam2_video_predictor_bf16_params():
+    """The chip runs bf16 params while pos encodings / scan carries are
+    f32 — propagate must not feed mixed-dtype q/k/v into the attention
+    dispatch (ledger v3 track failure: 'query dtype should be float32,
+    but got bfloat16' in _rope_attention's memory cross-attention)."""
+    cfg = S2.tiny_sam2_config()
+    p = S2.sam2_init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, p)
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+              for _ in range(4)]
+    pred = S2.SAM2VideoPredictor(p, cfg)
+    pred.init_state(frames)
+    m0 = pred.add_new_points(0, np.array([[32.0, 24.0]]), np.array([1]))
+    assert m0.shape == (48, 64) and m0.dtype == bool
+    masks = pred.propagate_in_video()
+    assert masks.shape == (4, 48, 64) and masks.dtype == bool
+
+
 def test_sam2_track_object_merges():
     cfg = S2.tiny_sam2_config()
     p = S2.sam2_init(jax.random.PRNGKey(0), cfg)
