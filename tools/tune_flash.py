@@ -36,6 +36,34 @@ def bench(label, fn, *args, reps=10, **kw):
     return o
 
 
+def main_decomp():
+    """A/B the per-block vs global-shift softmax at the decomp ViT
+    attention shapes (VERDICT r4 #5: settle the env flag where it was
+    predicted to win). Shapes: Hiera-large global-attention blocks at the
+    1024^2 SAM2 encode (stage 3: 4096 tokens x 576 ch x 8 heads; stage 4:
+    1024 x 1152 x 16) and the DepthAnythingV2 ViT-L (1370 x 1024 x 16,
+    ragged seq). No bank segment — the knm prepass has no overlapping
+    producer to serialize against here."""
+    import math
+    key = jax.random.PRNGKey(0)
+    for name, n, s, c, heads in [("hiera-s3", 8, 4096, 576, 8),
+                                 ("hiera-s4", 8, 1024, 1152, 16),
+                                 ("depth-vitl", 14, 1370, 1024, 16)]:
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (n, s, c), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (n, s, c), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (n, s, c), jnp.bfloat16)
+        d = c // heads
+        sm = 1.0 / math.sqrt(d)
+        bq, bk = A._pick_t_blocks(s, s, c, 2, heads=heads)
+        print(f"{name}: bq={bq} bk={bk}", flush=True)
+        for gs in (False, True):
+            tag = "gs" if gs else "pb"
+            bench(f"{name} {tag}", flash_attention_nt,
+                  q, k, v, heads, sm_scale=sm, block_q=bq, block_k=bk,
+                  global_shift=gs)
+
+
 def main():
     import math
     key = jax.random.PRNGKey(0)
@@ -76,4 +104,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--decomp" in sys.argv:
+        main_decomp()
+    else:
+        main()
