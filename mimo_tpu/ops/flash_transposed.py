@@ -42,25 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _knmax(k: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """Per-(batch, head) max key L2 norm, (B, H) f32 — the global
-    Cauchy-Schwarz shift for the global-shift kernels. One fused XLA
-    reduce over K (~0.1 ms at the lvl0 shapes; K is re-read per q block
-    by the kernel anyway, so the extra pass is noise and the DMA side of
-    the kernel is fully hidden — BENCH_NOTES.md round-2 grid-reorder
-    result)."""
-    b, sk, inner = k.shape
-    d = inner // heads
-    kn2 = jnp.sum(jnp.square(k.astype(jnp.float32).reshape(b, sk, heads, d)),
-                  axis=-1)                              # (B, Sk, H)
-    # (B, 1, H): the trailing (1, H) block equals the array dims, which is
-    # the only legal sub-(8,128) Mosaic block shape
-    return jnp.sqrt(jnp.max(kn2, axis=1, keepdims=True))  # (B, 1, H)
-
-
-def _flash_nt_kernel(q_ref, k_ref, v_ref, *refs,
-                     heads: int, sk_actual: int, block_k: int,
-                     sm_scale: float, out_dtype, global_shift: bool):
+def _flash_nt_kernel(q_ref, k_ref, v_ref, o_ref, qt_ref, acc_ref, m_ref,
+                     l_ref, qn_ref, *, heads: int, sk_actual: int,
+                     block_k: int, sm_scale: float, out_dtype):
     """One (batch, q-block, k-block) grid step, all heads unrolled.
 
     q_ref/o_ref: (1, bq, H·d); k_ref/v_ref: (1, bk, H·d) — natural
@@ -93,19 +77,17 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, *refs,
     ‖q‖‖k‖ ≫ any realized logit, far outside LN-normalized attention;
     the true-max kernel had the mirror-image overflow envelope.
 
-    Global shift (round 4): with `global_shift`, max_k‖k̃‖ over the WHOLE
-    key sequence is precomputed outside the kernel (knm_ref, (1, heads))
-    and the shift is CONSTANT across k blocks — the softmax ratio
-    acc/l cancels any constant shift, so exactness is unchanged. This
-    deletes every per-block softmax-state pass: the running-bound
-    update, the per-block shift-row writes into the q panel, the alpha
-    exp2, and the (H·d, bq) f32 accumulator rescale — leaving exp2(p)
-    and the two matmuls as the only per-block work.
+    A "global shift" variant (shift precomputed over the whole key
+    sequence outside the kernel, constant across k blocks) was built in
+    round 4 and DELETED in round 5 after losing every A/B: in-program
+    synthesis step 0.890→0.898 s (round 4), isolated lvl0/lvl1 losses
+    (tune_flash.py round 5), and decomp ViT shapes flat-to-worse
+    (hiera 5.36→5.30/2.92→2.87, depth-vitl 4.43→4.82 ms). The ablation
+    study (tools/ablate_flash.py) explains why it could never win: the
+    per-block softmax-state passes it removed cost ~0.5 ms/call — the
+    kernel is VMEM-bandwidth-bound on the logit tiles (12 B/logit),
+    not VPU-bound (BENCH_NOTES.md round 5).
     """
-    if global_shift:
-        knm_ref, o_ref, qt_ref, acc_ref, l_ref = refs
-    else:
-        o_ref, qt_ref, acc_ref, m_ref, l_ref, qn_ref = refs
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     hd = q_ref.shape[2]
@@ -124,20 +106,10 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, *refs,
         for h in range(heads):
             qh = qt[h * d:(h + 1) * d]                  # (d, bq)
             qt_ref[h * dp:h * dp + d] = qh
-            qn = jnp.sqrt(jnp.sum(
+            qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros((8, bq), qt.dtype)
+            qn_ref[h:h + 1] = jnp.sqrt(jnp.sum(
                 qh.astype(jnp.float32) ** 2, axis=0, keepdims=True))
-            if global_shift:
-                # constant shift row: −‖q̃‖·max_k‖k̃‖, written once
-                row = (-(qn * knm_ref[0, 0, h])).astype(qt.dtype)
-                qt_ref[h * dp + d:h * dp + d + 1] = row
-                qt_ref[h * dp + d + 1:(h + 1) * dp] = jnp.zeros(
-                    (7, bq), qt.dtype)
-            else:
-                qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros(
-                    (8, bq), qt.dtype)
-                qn_ref[h:h + 1] = qn
-        if not global_shift:
-            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
 
     ragged = sk_actual % block_k != 0
     kt = k_ref[0].T                                     # (H·d, bk)
@@ -186,53 +158,33 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, *refs,
         return s
 
     # software-pipelined heads: head h+1's QK matmul is issued before head
-    # h's softmax, so the MXU can run ahead of the VPU chain (the kernel
-    # is VPU-bound — BENCH_NOTES.md)
-    if global_shift:
-        # constant shift already baked into the q panel at init: the only
-        # per-block work per head is QK, exp2, PV, and two accumulates
-        s_next = _qk(0)
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            s = s_next
-            if h + 1 < heads:
-                s_next = _qk(h + 1)
-            p = jnp.exp2(s.astype(vt.dtype))            # (bk, bq), ≤ ~1
-            vt_plus = jnp.concatenate(
-                [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
-            pv = jax.lax.dot_general(
-                vt_plus, p,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (d+1, bq)
-            acc_ref[sl] = acc_ref[sl] + pv[:-1]
-            l_ref[h:h + 1] = l_ref[h:h + 1] + pv[-1:]
-    else:
-        ms_next = _shift(0)
-        s_next = _qk(0)
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            m_prev, m_new = ms_next
-            s = s_next
-            if h + 1 < heads:
-                ms_next = _shift(h + 1)
-                s_next = _qk(h + 1)
+    # h's softmax so the two never serialize on a data dependency
+    ms_next = _shift(0)
+    s_next = _qk(0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        m_prev, m_new = ms_next
+        s = s_next
+        if h + 1 < heads:
+            ms_next = _shift(h + 1)
+            s_next = _qk(h + 1)
 
-            alpha = jnp.exp2(m_prev - m_new)            # (1, bq)
-            # exp2 in the PV-operand dtype: the matmul rounds p to bf16
-            # anyway and bf16 exp2 doubles VPU throughput on the biggest
-            # block tensor
-            p = jnp.exp2(s.astype(vt.dtype))            # (bk, bq), ≤ ~1
-            # ones-row appended to V: the PV matmul emits the softmax
-            # denominator as its last row with fp32 MXU accumulation (free
-            # — d pads to the next sublane multiple regardless)
-            vt_plus = jnp.concatenate(
-                [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
-            pv = jax.lax.dot_general(
-                vt_plus, p,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (d+1, bq)
-            acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
-            l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
+        alpha = jnp.exp2(m_prev - m_new)            # (1, bq)
+        # exp2 in the PV-operand dtype: the matmul rounds p to bf16
+        # anyway and bf16 exp2 doubles VPU throughput on the biggest
+        # block tensor
+        p = jnp.exp2(s.astype(vt.dtype))            # (bk, bq), ≤ ~1
+        # ones-row appended to V: the PV matmul emits the softmax
+        # denominator as its last row with fp32 MXU accumulation (free
+        # — d pads to the next sublane multiple regardless)
+        vt_plus = jnp.concatenate(
+            [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
+        pv = jax.lax.dot_general(
+            vt_plus, p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (d+1, bq)
+        acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
+        l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
 
     @pl.when(j == nk - 1)
     def _emit():
@@ -244,12 +196,11 @@ def _flash_nt_kernel(q_ref, k_ref, v_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k",
                                              "sm_scale", "batch_start",
-                                             "batch_count", "global_shift"))
+                                             "batch_count"))
 def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        heads: int, sm_scale: float, block_q: int = 256,
                        block_k: int = 1024, batch_start: int = 0,
-                       batch_count: int = 0,
-                       global_shift: bool = False) -> jnp.ndarray:
+                       batch_count: int = 0) -> jnp.ndarray:
     """q: (B, Sq, H·d), k/v: (B, Sk, H·d) -> (Bc, Sq, H·d). Sq may be any
     length (edge q blocks compute garbage columns that are never stored);
     Sk is masked in-kernel when not a block multiple.
@@ -257,11 +208,7 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     batch_start/batch_count select a batch window [start, start+count) via
     the index maps: Pallas operands must be whole arrays, so slicing the
     CFG halves outside the call materializes ~16 ms/step of %slice copies
-    — the offset reads the halves in place instead.
-
-    global_shift: precompute max_k‖k̃‖ per (batch, head) outside the kernel
-    (one fused XLA reduce) so the softmax shift is a constant baked into
-    the q panel — see _flash_nt_kernel."""
+    — the offset reads the halves in place instead."""
     b, sq, inner = q.shape
     sk = k.shape[1]
     d = inner // heads
@@ -271,63 +218,46 @@ def flash_attention_nt(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     grid = (bc, -(-sq // block_q), -(-sk // block_k))
     kernel = functools.partial(
         _flash_nt_kernel, heads=heads, sk_actual=sk, block_k=block_k,
-        sm_scale=sm_scale, out_dtype=q.dtype, global_shift=global_shift)
-    qkv_specs = [
-        pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b + bo, i, 0)),
-        pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
-        pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
-    ]
-    if global_shift:
-        knm = _knmax(k, heads)                          # (B, 1, H) f32
-        in_specs = qkv_specs + [
-            pl.BlockSpec((1, 1, heads), lambda b, i, j: (b + bo, 0, 0))]
-        scratch = [
-            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
-            pltpu.VMEM((inner, block_q), jnp.float32),          # acc
-            pltpu.VMEM((heads, block_q), jnp.float32),          # l
-        ]
-        operands = (q, k, v, knm)
-    else:
-        in_specs = qkv_specs
-        scratch = [
-            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
-            pltpu.VMEM((inner, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
-        ]
-        operands = (q, k, v)
+        sm_scale=sm_scale, out_dtype=q.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, block_q, inner), lambda b, i, j: (b + bo, i, 0)),
+            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
+            pl.BlockSpec((1, block_k, inner), lambda b, i, j: (b + bo, j, 0)),
+        ],
         out_specs=pl.BlockSpec((1, block_q, inner),
                                lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
+            pltpu.VMEM((inner, block_q), jnp.float32),          # acc
+            pltpu.VMEM((heads, block_q), jnp.float32),          # m
+            pltpu.VMEM((heads, block_q), jnp.float32),          # l
+            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*operands)
+    )(q, k, v)
 
 
 def flash_sdpa_t(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  heads: int, block_q: int = 256,
-                 block_k: int = 1024,
-                 global_shift: bool = False) -> jnp.ndarray:
+                 block_k: int = 1024) -> jnp.ndarray:
     """(B, Sq, inner) x (B, Sk, inner) -> (B, Sq, inner), numerics matching
     jax.nn.dot_product_attention (scale 1/sqrt(d))."""
     d = q.shape[2] // heads
     return flash_attention_nt(q, k, v, heads, sm_scale=1.0 / math.sqrt(d),
-                              block_q=block_q, block_k=block_k,
-                              global_shift=global_shift)
+                              block_q=block_q, block_k=block_k)
 
 
-def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, *refs,
+def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, qt_ref,
+                      acc_ref, m_ref, l_ref, qn_ref, *,
                       heads: int, sk1: int, sk2: int, block_k: int,
-                      nk1: int, sm_scale: float, out_dtype,
-                      global_shift: bool):
+                      nk1: int, sm_scale: float, out_dtype):
     """Two-segment variant of _flash_nt_kernel: the key/value sequence is
     the concatenation [self (B, Sk1) ‖ bank (1, Sk2)] WITHOUT materializing
     it — the reference-attention bank (ReferenceAttentionControl concat,
@@ -339,13 +269,7 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, *refs,
     Uses the same bound-shift softmax as _flash_nt_kernel (see there):
     the Cauchy-Schwarz bound and the MXU-folded shift row apply per
     segment block identically — the online bound carries across the
-    segment switch just like the true max did. With `global_shift` the
-    bound is max_k‖k̃‖ over BOTH segments, precomputed outside (knm_ref),
-    constant across all nk1+nk2 blocks — see _flash_nt_kernel."""
-    if global_shift:
-        knm_ref, o_ref, qt_ref, acc_ref, l_ref = refs
-    else:
-        o_ref, qt_ref, acc_ref, m_ref, l_ref, qn_ref = refs
+    segment switch just like the true max did."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     hd = q_ref.shape[2]
@@ -362,19 +286,10 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, *refs,
         for h in range(heads):
             qh = qt[h * d:(h + 1) * d]
             qt_ref[h * dp:h * dp + d] = qh
-            qn = jnp.sqrt(jnp.sum(
+            qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros((8, bq), qt.dtype)
+            qn_ref[h:h + 1] = jnp.sqrt(jnp.sum(
                 qh.astype(jnp.float32) ** 2, axis=0, keepdims=True))
-            if global_shift:
-                row = (-(qn * knm_ref[0, 0, h])).astype(qt.dtype)
-                qt_ref[h * dp + d:h * dp + d + 1] = row
-                qt_ref[h * dp + d + 1:(h + 1) * dp] = jnp.zeros(
-                    (7, bq), qt.dtype)
-            else:
-                qt_ref[h * dp + d:(h + 1) * dp] = jnp.zeros(
-                    (8, bq), qt.dtype)
-                qn_ref[h:h + 1] = qn
-        if not global_shift:
-            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
 
     in_self = j < nk1
     k_blk = jnp.where(in_self, k_ref[0], kb_ref[0])
@@ -420,43 +335,26 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, *refs,
         return s
 
     # software-pipelined heads (see _flash_nt_kernel)
-    if global_shift:
-        s_next = _qk(0)
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            s = s_next
-            if h + 1 < heads:
-                s_next = _qk(h + 1)
-            p = jnp.exp2(s.astype(vt.dtype))
-            vt_plus = jnp.concatenate(
-                [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
-            pv = jax.lax.dot_general(
-                vt_plus, p,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[sl] = acc_ref[sl] + pv[:-1]
-            l_ref[h:h + 1] = l_ref[h:h + 1] + pv[-1:]
-    else:
-        ms_next = _shift(0)
-        s_next = _qk(0)
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            m_prev, m_new = ms_next
-            s = s_next
-            if h + 1 < heads:
-                ms_next = _shift(h + 1)
-                s_next = _qk(h + 1)
+    ms_next = _shift(0)
+    s_next = _qk(0)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        m_prev, m_new = ms_next
+        s = s_next
+        if h + 1 < heads:
+            ms_next = _shift(h + 1)
+            s_next = _qk(h + 1)
 
-            alpha = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s.astype(vt.dtype))
-            vt_plus = jnp.concatenate(
-                [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
-            pv = jax.lax.dot_general(
-                vt_plus, p,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
-            l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s.astype(vt.dtype))
+        vt_plus = jnp.concatenate(
+            [vt[sl], jnp.ones((1, vt.shape[1]), vt.dtype)])
+        pv = jax.lax.dot_general(
+            vt_plus, p,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[sl] = acc_ref[sl] * alpha + pv[:-1]
+        l_ref[h:h + 1] = l_ref[h:h + 1] * alpha + pv[-1:]
 
     @pl.when(j == nk - 1)
     def _emit():
@@ -468,18 +366,16 @@ def _flash_nt2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k",
                                              "sm_scale", "batch_start",
-                                             "batch_count", "global_shift"))
+                                             "batch_count"))
 def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             kb: jnp.ndarray, vb: jnp.ndarray, heads: int,
                             sm_scale: float, block_q: int = 256,
                             block_k: int = 1024, batch_start: int = 0,
-                            batch_count: int = 0,
-                            global_shift: bool = False) -> jnp.ndarray:
+                            batch_count: int = 0) -> jnp.ndarray:
     """Attention over [self ‖ bank] keys without concatenation.
     q/k/v: (B, Sq|Sk1, H·d); kb/vb: (1, Sk2, H·d) shared by every batch
     row. Exact (online softmax across both segments). batch_start/count
-    select a batch window in place (see flash_attention_nt). global_shift
-    precomputes the softmax shift over BOTH segments (see there)."""
+    select a batch window in place (see flash_attention_nt)."""
     b, sq, inner = q.shape
     sk1 = k.shape[1]
     sk2 = kb.shape[1]
@@ -491,9 +387,8 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     grid = (bc, -(-sq // block_q), nk1 + nk2)
     kernel = functools.partial(
         _flash_nt2_kernel, heads=heads, sk1=sk1, sk2=sk2, block_k=block_k,
-        nk1=nk1, sm_scale=sm_scale, out_dtype=q.dtype,
-        global_shift=global_shift)
-    qkv_specs = [
+        nk1=nk1, sm_scale=sm_scale, out_dtype=q.dtype)
+    in_specs = [
         pl.BlockSpec((1, block_q, inner),
                      lambda b, i, j: (b + bo, i, 0)),
         pl.BlockSpec((1, block_k, inner),
@@ -505,26 +400,6 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         pl.BlockSpec((1, block_k, inner),
                      lambda b, i, j: (0, jnp.maximum(j - nk1, 0), 0)),
     ]
-    if global_shift:
-        knm = jnp.maximum(_knmax(k, heads), _knmax(kb, heads))  # (B, 1, H)
-        in_specs = qkv_specs + [
-            pl.BlockSpec((1, 1, heads), lambda b, i, j: (b + bo, 0, 0))]
-        scratch = [
-            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
-            pltpu.VMEM((inner, block_q), jnp.float32),          # acc
-            pltpu.VMEM((heads, block_q), jnp.float32),          # l
-        ]
-        operands = (q, k, v, kb, vb, knm)
-    else:
-        in_specs = qkv_specs
-        scratch = [
-            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
-            pltpu.VMEM((inner, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),
-            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
-        ]
-        operands = (q, k, v, kb, vb)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -532,9 +407,15 @@ def flash_attention_nt_bank(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, block_q, inner),
                                lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bc, sq, inner), q.dtype),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((inner + 8 * heads, block_q), q.dtype),  # q panels
+            pltpu.VMEM((inner, block_q), jnp.float32),          # acc
+            pltpu.VMEM((heads, block_q), jnp.float32),          # m
+            pltpu.VMEM((heads, block_q), jnp.float32),          # l
+            pltpu.VMEM((heads, block_q), jnp.float32),          # q norms
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*operands)
+    )(q, k, v, kb, vb)
